@@ -1,0 +1,207 @@
+"""Configuration tree for the engine.
+
+The reference configures itself with argparse flags plus seven environment
+variables (reference ``model/BaseLine/main.py:17-48,52-57`` and
+``infer.py:15,103,142,211``).  We keep that outer contract (see ``cli/``) but
+the internal source of truth is a frozen dataclass tree with named presets
+matching the five BASELINE.json configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence, Tuple
+
+# Multimodal content-embedding dims, fixed by the TencentGR data release
+# (reference model/BaseLine/model.py:183 EMB_SHAPE_DICT).
+MM_EMB_DIMS = {"81": 32, "82": 1024, "83": 3584, "84": 4096, "85": 3584, "86": 3584}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the sequence encoder + fusion towers."""
+
+    hidden_units: int = 64
+    num_blocks: int = 4
+    num_heads: int = 4
+    maxlen: int = 101               # sequence window (reference main.py:23)
+    dropout_rate: float = 0.01
+    norm_first: bool = False        # pre-LN vs post-LN wiring (reference model.py:337-346)
+    block_type: str = "mha"         # "mha" (reference parity) | "hstu" (north star)
+    ffn_type: str = "relu"          # "relu" (BaseLine C2a) | "swiglu" (BaseLineO1 C2b)
+    ffn_hidden_mult: float = 4.0    # swiglu: pre-2/3-rule hidden multiple
+    ffn_multiple_of: int = 256      # swiglu hidden rounding (BaseLineO1/model.py:103-165)
+    # HSTU specifics
+    hstu_rel_pos_buckets: int = 128  # relative-position-bias buckets
+    dtype: str = "bfloat16"          # compute dtype; params stay float32
+    use_flash_attention: bool = True  # Pallas fused attention kernel when shapes allow
+    # Faithful reference init zeroes every 1-D param INCLUDING LayerNorm
+    # scales (reference main.py:95-102); sane init uses scale 1. Parity
+    # presets keep the quirk, north-star presets do not.
+    reference_init: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Which feature families are active (schema itself lives in data/schema.py)."""
+
+    mm_emb_ids: Tuple[str, ...] = ("81",)
+    array_cap: int = 8               # static per-token cap for array features (no dynamic shapes)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    lr: float = 1e-3
+    num_epochs: int = 5
+    l2_emb: float = 1e-3             # BaseLine: explicit L2 penalty on item table
+    weight_decay: float = 0.0        # BaseLineO1: AdamW weight decay instead
+    adam_b1: float = 0.9
+    adam_b2: float = 0.98            # reference main.py:131
+    seed: int = 42
+    loss_type: str = "bce"           # "bce" (parity) | "sampled_softmax" (north star)
+    num_sampled_negatives: int = 128  # sampled-softmax uniform negatives
+    valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
+    log_every: int = 10
+    grad_log_every: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes. data=DP, model=TP, seq=SP. Tables row-shard over
+    (data×model) flattened unless table_axis overrides."""
+
+    data: int = 1
+    model: int = 1
+    seq: int = 1
+    table_shard_axes: Tuple[str, ...] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    top_k: int = 10
+    # C++ HNSW tool operating point (reference infer.py:223)
+    hnsw_m: int = 64
+    hnsw_ef_construction: int = 1280
+    hnsw_ef_search: int = 640
+    metric_type: int = 0             # 0 = inner product
+    method: str = "exact"            # "exact" (on-device MIPS) | "hnsw" (C++ tool)
+
+
+@dataclasses.dataclass(frozen=True)
+class RQVAEConfig:
+    num_levels: int = 3
+    codebook_size: int = 256
+    code_dim: int = 32
+    enc_hidden: Tuple[int, ...] = (512, 256)
+    commit_beta: float = 0.25
+    lr: float = 1e-3
+    ema_decay: float = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    retrieval: RetrievalConfig = dataclasses.field(default_factory=RetrievalConfig)
+    rqvae: RQVAEConfig = dataclasses.field(default_factory=RQVAEConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets — the five BASELINE.json configs plus the two reference-parity ones.
+# ---------------------------------------------------------------------------
+
+def baseline_parity() -> Config:
+    """Reference BaseLine config (main.py:21-44): B=64 lr=1e-3 D=64 4 blocks
+    4 heads drop 0.01 l2 1e-3, softmax MHA + ReLU FFN."""
+    return Config()
+
+
+def baseline_o1_parity() -> Config:
+    """Reference BaseLineO1 config (BaseLineO1/main.py:37-47): B=128 lr=5e-3
+    1 head, AdamW wd=0.01, SwiGLU FFN."""
+    return Config(
+        model=ModelConfig(num_heads=1, ffn_type="swiglu"),
+        train=TrainConfig(batch_size=128, lr=5e-3, l2_emb=0.0, weight_decay=0.01),
+    )
+
+
+def hstu_mini() -> Config:
+    """BASELINE.json configs[0]: BaseLine HSTU, 2 blocks, seq 128, mini split."""
+    return Config(
+        model=ModelConfig(num_blocks=2, maxlen=128, block_type="hstu",
+                          reference_init=False),
+    )
+
+
+def hstu_flagship() -> Config:
+    """BASELINE.json configs[1]: BaseLineO1 HSTU, 8 blocks, seq 1024, 1 chip."""
+    return Config(
+        model=ModelConfig(
+            hidden_units=64, num_blocks=8, num_heads=4, maxlen=1024,
+            block_type="hstu", ffn_type="swiglu", reference_init=False,
+        ),
+        train=TrainConfig(batch_size=128, lr=5e-3, l2_emb=0.0, weight_decay=0.01),
+    )
+
+
+def sampled_softmax_dp() -> Config:
+    """BASELINE.json configs[3]: MM side features + sampled softmax, 1-host DP."""
+    return Config(
+        model=ModelConfig(block_type="hstu", ffn_type="swiglu", reference_init=False),
+        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0, weight_decay=0.01),
+        mesh=MeshConfig(data=8),
+    )
+
+
+def sharded_multihost() -> Config:
+    """BASELINE.json configs[4]: row-sharded tables, all-to-all lookup, multi-host."""
+    return Config(
+        model=ModelConfig(block_type="hstu", ffn_type="swiglu", num_blocks=8,
+                          reference_init=False),
+        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0, weight_decay=0.01),
+        mesh=MeshConfig(data=4, model=2),
+    )
+
+
+PRESETS = {
+    "baseline": baseline_parity,
+    "baseline_o1": baseline_o1_parity,
+    "hstu_mini": hstu_mini,
+    "hstu_flagship": hstu_flagship,
+    "sampled_softmax_dp": sampled_softmax_dp,
+    "sharded_multihost": sharded_multihost,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvPaths:
+    """The reference's environment-variable directory contract
+    (main.py:52-57, infer.py:15,103,142,211)."""
+
+    train_data_path: Optional[str] = None
+    train_log_path: Optional[str] = None
+    train_tf_events_path: Optional[str] = None
+    train_ckpt_path: Optional[str] = None
+    eval_data_path: Optional[str] = None
+    eval_result_path: Optional[str] = None
+    model_output_path: Optional[str] = None
+
+    @classmethod
+    def from_env(cls) -> "EnvPaths":
+        g = os.environ.get
+        return cls(
+            train_data_path=g("TRAIN_DATA_PATH"),
+            train_log_path=g("TRAIN_LOG_PATH"),
+            train_tf_events_path=g("TRAIN_TF_EVENTS_PATH"),
+            train_ckpt_path=g("TRAIN_CKPT_PATH"),
+            eval_data_path=g("EVAL_DATA_PATH"),
+            eval_result_path=g("EVAL_RESULT_PATH"),
+            model_output_path=g("MODEL_OUTPUT_PATH"),
+        )

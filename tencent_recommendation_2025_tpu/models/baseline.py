@@ -1,0 +1,132 @@
+"""The full sequence-recommender model (reference ``BaselineModel`` role).
+
+Functional re-design of ``model/BaseLine/model.py:81-433``: a static
+:class:`SeqRecModel` descriptor (config + schema + vocab layout) with pure
+methods over a parameter pytree. Entry points mirror the reference API:
+
+- :meth:`forward`  — train-time pos/neg logits (``model.py:352-384``)
+- :meth:`predict`  — last-position query vectors (``model.py:386-400``)
+- :meth:`encode_items` — candidate-corpus item tower (``model.py:402-433``)
+
+Everything is jittable with static shapes; multimodal vectors come from
+device-resident tables (see models/embedding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.featurizer import FusedVocab
+from ..data.schema import FeatureSchema
+from . import embedding as E
+from . import encoder as ENC
+
+
+@dataclasses.dataclass(frozen=True)
+class SeqRecModel:
+    cfg: ModelConfig
+    schema: FeatureSchema
+    fused: FusedVocab
+    usernum: int
+    itemnum: int
+
+    # ---- init ----------------------------------------------------------
+    def init(self, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        params = E.init_embedding_params(k1, self.cfg, self.schema,
+                                         self.fused, self.usernum,
+                                         self.itemnum)
+        params.update(ENC.init_encoder_params(k2, self.cfg))
+        return params
+
+    # ---- towers --------------------------------------------------------
+    def item_embeddings(self, params: Mapping, ids: jnp.ndarray,
+                        item_sparse: jnp.ndarray, item_array: jnp.ndarray,
+                        mm_tables: Mapping[str, jnp.ndarray],
+                        mm_override: Optional[Mapping[str, jnp.ndarray]] = None
+                        ) -> jnp.ndarray:
+        """Item tower on explicit ids+features (include_user=False path).
+
+        ``mm_override`` supplies explicit multimodal vectors (candidate corpus
+        cold items); otherwise vectors are gathered from ``mm_tables`` by id.
+        """
+        mm_vecs = mm_override if mm_override is not None else \
+            E.gather_mm(mm_tables, ids, self.schema)
+        return E.item_tower(params, ids, item_sparse, item_array, mm_vecs,
+                            self.fused, self.schema, self.cfg)
+
+    # ---- encoder (log2feats) ------------------------------------------
+    def log2feats(self, params: Mapping, batch: Mapping,
+                  mm_tables: Mapping[str, jnp.ndarray],
+                  train: bool = False,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        fused_emb = E.fuse_sequence(params, batch, mm_tables, self.fused,
+                                    self.schema, self.cfg)
+        enc_rng = None
+        if rng is not None:
+            rng, enc_rng = jax.random.split(rng)
+        return ENC.encode(params, fused_emb, batch["seq"],
+                          batch["token_type"], params["pos_emb"], self.cfg,
+                          train=train, rng=enc_rng)
+
+    # ---- training forward ---------------------------------------------
+    def forward(self, params: Mapping, batch: Mapping,
+                mm_tables: Mapping[str, jnp.ndarray],
+                item_tables: Mapping[str, jnp.ndarray],
+                train: bool = True, rng: Optional[jax.Array] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (log_feats [B,L,D], pos_embs, neg_embs).
+
+        Negative-item features are gathered on device from the static item
+        tables by id (the host never materializes them — cf. reference
+        ``dataset.py:159`` which does dict lookups per position).
+        """
+        log_feats = self.log2feats(params, batch, mm_tables, train=train,
+                                   rng=rng)
+        pos_embs = self.item_embeddings(params, batch["pos"],
+                                        batch["pos_item_sparse"],
+                                        batch["pos_item_array"], mm_tables)
+        neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0)
+        neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0)
+        neg_embs = self.item_embeddings(params, batch["neg"], neg_sparse,
+                                        neg_array, mm_tables)
+        return log_feats, pos_embs, neg_embs
+
+    def logits(self, params: Mapping, batch: Mapping,
+               mm_tables: Mapping[str, jnp.ndarray],
+               item_tables: Mapping[str, jnp.ndarray],
+               train: bool = True, rng: Optional[jax.Array] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(pos_logits, neg_logits, loss_mask) as in reference forward
+        (``model.py:373-384``): dot products masked to next-item positions."""
+        log_feats, pos_embs, neg_embs = self.forward(
+            params, batch, mm_tables, item_tables, train=train, rng=rng)
+        loss_mask = (batch["next_token_type"] == 1)
+        if "sample_valid" in batch:
+            loss_mask = jnp.logical_and(loss_mask,
+                                        batch["sample_valid"][:, None] > 0)
+        pos_logits = jnp.sum(log_feats * pos_embs, axis=-1)
+        neg_logits = jnp.sum(log_feats * neg_embs, axis=-1)
+        m = loss_mask.astype(pos_logits.dtype)
+        return pos_logits * m, neg_logits * m, loss_mask
+
+    # ---- inference -----------------------------------------------------
+    def predict(self, params: Mapping, batch: Mapping,
+                mm_tables: Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+        """Query vectors: encoding of the last position [B, D]
+        (reference ``model.py:386-400``)."""
+        log_feats = self.log2feats(params, batch, mm_tables, train=False)
+        return log_feats[:, -1, :]
+
+    def encode_items(self, params: Mapping, ids: jnp.ndarray,
+                     item_sparse: jnp.ndarray, item_array: jnp.ndarray,
+                     mm_vecs: Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+        """Candidate-corpus encoder (reference ``save_item_emb`` compute):
+        plain item tower over [N] candidates with explicit mm vectors."""
+        return self.item_embeddings(params, ids, item_sparse, item_array,
+                                    mm_tables={}, mm_override=mm_vecs)

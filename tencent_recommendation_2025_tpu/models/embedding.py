@@ -1,0 +1,230 @@
+"""Embedding tables and feature-fusion towers (C3 + C4 of SURVEY.md §2.1).
+
+TPU-first redesign of the reference's table layer
+(``model/BaseLine/model.py:115-167,226-310``):
+
+- the 18+ per-feature ``nn.Embedding`` tables collapse into **one fused table**
+  addressed by per-feature row offsets (data/featurizer.FusedVocab), so every
+  token's sparse+array features are fetched by a single gather — one big,
+  MXU/HBM-friendly lookup instead of a python loop of small ones;
+- torch's ``padding_idx=0`` becomes a functional mask: looked-up rows are
+  multiplied by ``(id != 0)`` so padding contributes exactly zero embedding and
+  zero gradient;
+- multimodal vectors are **not** packed on the host per step; they live in
+  dense id-indexed device tables and are gathered here by item id.
+
+Parameter tree (plain pytree of jnp arrays; all float32, compute casts to the
+config dtype):
+
+    item_emb   [I+1, D]      user_emb [U+1, D]     pos_emb [2*maxlen+1, D]
+    fused_feat [R, D]        mm_proj  {fid: {w,b}} itemdnn/userdnn {w,b}
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..data import schema as S
+from ..data.featurizer import FusedVocab, ItemFeatureTables
+from ..data.schema import FeatureSchema
+
+
+# ---------------------------------------------------------------------------
+# Initializers (reference main.py:95-111: xavier-normal for >=2-D, zeros for
+# 1-D, padding row 0 zeroed on every table)
+# ---------------------------------------------------------------------------
+
+def xavier_normal(key, shape, dtype=jnp.float32):
+    assert len(shape) >= 2, "xavier init is for >=2-D params"
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = shape[-1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def _emb_init(key, rows, dim):
+    w = xavier_normal(key, (rows, dim))
+    return w.at[0].set(0.0)  # padding row zeroed (reference main.py:106-111)
+
+
+def linear_init(key, d_in, d_out):
+    return {"w": xavier_normal(key, (d_in, d_out)),
+            "b": jnp.zeros((d_out,), jnp.float32)}
+
+
+def linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def layernorm_init(dim, scale_init: float):
+    """Reference init zeroes 1-D params *including LayerNorm scales*
+    (main.py:95-102) — a faithful quirk behind ``reference_init``; sane mode
+    uses scale 1."""
+    return {"scale": jnp.full((dim,), scale_init, jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(p, x, eps: float = 1e-8):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Tower dims (reference model.py:129-136)
+# ---------------------------------------------------------------------------
+
+def tower_dims(cfg: ModelConfig, schema: FeatureSchema) -> Tuple[int, int]:
+    D = cfg.hidden_units
+    userdim = D * (len(S.USER_SPARSE_IDS) + 1 + len(S.USER_ARRAY_IDS)) \
+        + len(S.USER_CONTINUAL_IDS)
+    itemdim = D * (len(S.ITEM_SPARSE_IDS) + 1 + len(S.ITEM_ARRAY_IDS)) \
+        + len(S.ITEM_CONTINUAL_IDS) + D * len(schema.mm_emb_ids)
+    return userdim, itemdim
+
+
+def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
+                          fused: FusedVocab, usernum: int, itemnum: int
+                          ) -> Dict:
+    keys = jax.random.split(key, 8)
+    userdim, itemdim = tower_dims(cfg, schema)
+    D = cfg.hidden_units
+    params = {
+        "item_emb": _emb_init(keys[0], itemnum + 1, D),
+        "user_emb": _emb_init(keys[1], usernum + 1, D),
+        "pos_emb": _emb_init(keys[2], 2 * cfg.maxlen + 1, D),
+        "fused_feat": _emb_init(keys[3], fused.total_rows, D),
+        "itemdnn": linear_init(keys[4], itemdim, D),
+        "userdnn": linear_init(keys[5], userdim, D),
+        "mm_proj": {},
+    }
+    mm_keys = jax.random.split(keys[6], max(1, len(schema.mm_emb_ids)))
+    for i, fid in enumerate(schema.mm_emb_ids):
+        params["mm_proj"][fid] = linear_init(mm_keys[i],
+                                             schema.item_emb_dims[fid], D)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Lookups
+# ---------------------------------------------------------------------------
+
+def masked_take(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids] * (ids != 0)`` — the padding_idx-0 contract."""
+    emb = jnp.take(table, ids, axis=0)
+    return emb * (ids != 0)[..., None].astype(emb.dtype)
+
+
+def fused_feature_lookup(fused_table: jnp.ndarray, ids: jnp.ndarray,
+                         offsets: jnp.ndarray) -> jnp.ndarray:
+    """ids [..., F] with per-slot offsets [F] -> embeddings [..., F, D].
+
+    Row = offset[f] + id when id > 0, the shared zero row otherwise.
+    """
+    global_ids = jnp.where(ids > 0, ids + offsets, 0)
+    return masked_take(fused_table, global_ids)
+
+
+# ---------------------------------------------------------------------------
+# Towers (reference feat2emb, model.py:226-310)
+# ---------------------------------------------------------------------------
+
+def item_tower(params: Mapping, ids: jnp.ndarray,
+               item_sparse: jnp.ndarray, item_array: jnp.ndarray,
+               mm_vecs: Mapping[str, jnp.ndarray],
+               fused: FusedVocab, schema: FeatureSchema,
+               cfg: ModelConfig,
+               item_emb_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Item-token embedding: id emb ++ sparse ++ array-sum ++ mm-proj -> DNN.
+
+    Feature concat order matches the reference's ``item_feat_list`` build
+    (id emb, then ITEM_SPARSE order, ITEM_ARRAY order, continual, mm order).
+    ``item_emb_override`` lets the sharded-table layer substitute a
+    pre-gathered id embedding.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    id_emb = item_emb_override if item_emb_override is not None \
+        else masked_take(params["item_emb"], ids)
+    feats = [id_emb.astype(dtype)]
+
+    if fused.n_item_sparse:
+        off = jnp.asarray([fused.offsets[fused.slot(f)]
+                           for f in S.ITEM_SPARSE_IDS], jnp.int32)
+        sp = fused_feature_lookup(params["fused_feat"], item_sparse, off)
+        feats.append(sp.reshape(*sp.shape[:-2], -1).astype(dtype))
+    if fused.n_item_array:
+        off = jnp.asarray([fused.offsets[fused.slot(f)]
+                           for f in S.ITEM_ARRAY_IDS], jnp.int32)
+        ar = fused_feature_lookup(params["fused_feat"], item_array,
+                                  off[:, None])
+        ar = ar.sum(axis=-2)  # sum over CAP (reference .sum(2), model.py:277)
+        feats.append(ar.reshape(*ar.shape[:-2], -1).astype(dtype))
+    for fid in schema.mm_emb_ids:
+        v = mm_vecs[fid].astype(dtype)
+        proj = {"w": params["mm_proj"][fid]["w"].astype(dtype),
+                "b": params["mm_proj"][fid]["b"].astype(dtype)}
+        feats.append(linear(proj, v))
+
+    x = jnp.concatenate(feats, axis=-1)
+    dnn = {"w": params["itemdnn"]["w"].astype(dtype),
+           "b": params["itemdnn"]["b"].astype(dtype)}
+    return jax.nn.relu(linear(dnn, x))
+
+
+def user_tower(params: Mapping, ids: jnp.ndarray,
+               user_sparse: jnp.ndarray, user_array: jnp.ndarray,
+               fused: FusedVocab, cfg: ModelConfig) -> jnp.ndarray:
+    dtype = jnp.dtype(cfg.dtype)
+    feats = [masked_take(params["user_emb"], ids).astype(dtype)]
+    if fused.n_user_sparse:
+        off = jnp.asarray([fused.offsets[fused.slot(f)]
+                           for f in S.USER_SPARSE_IDS], jnp.int32)
+        sp = fused_feature_lookup(params["fused_feat"], user_sparse, off)
+        feats.append(sp.reshape(*sp.shape[:-2], -1).astype(dtype))
+    if fused.n_user_array:
+        off = jnp.asarray([fused.offsets[fused.slot(f)]
+                           for f in S.USER_ARRAY_IDS], jnp.int32)
+        ar = fused_feature_lookup(params["fused_feat"], user_array,
+                                  off[:, None])
+        ar = ar.sum(axis=-2)
+        feats.append(ar.reshape(*ar.shape[:-2], -1).astype(dtype))
+    x = jnp.concatenate(feats, axis=-1)
+    dnn = {"w": params["userdnn"]["w"].astype(dtype),
+           "b": params["userdnn"]["b"].astype(dtype)}
+    return jax.nn.relu(linear(dnn, x))
+
+
+def gather_mm(mm_tables: Mapping[str, jnp.ndarray], ids: jnp.ndarray,
+              schema: FeatureSchema) -> Dict[str, jnp.ndarray]:
+    """Device-side gather of frozen multimodal vectors by item id.
+
+    Replaces the reference's per-step host packing of [B, L, mm_dim] arrays
+    (``model.py:281-299``). id 0 (padding / user tokens / cold items) hits the
+    zero row, matching ``fill_missing_feat``'s zero default.
+    """
+    return {fid: jnp.take(mm_tables[fid], ids, axis=0)
+            for fid in schema.mm_emb_ids}
+
+
+def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
+                  fused: FusedVocab, schema: FeatureSchema,
+                  cfg: ModelConfig) -> jnp.ndarray:
+    """The include_user=True fusion (reference model.py:302-310): run both
+    towers on the full sequence and add them. Token disambiguation multiplies
+    ids by the type mask before lookup (reference model.py:239-243)."""
+    seq = batch["seq"]
+    tt = batch["token_type"]
+    item_ids = jnp.where(tt == 1, seq, 0)
+    user_ids = jnp.where(tt == 2, seq, 0)
+    mm_vecs = gather_mm(mm_tables, item_ids, schema)
+    it = item_tower(params, item_ids, batch["seq_item_sparse"],
+                    batch["seq_item_array"], mm_vecs, fused, schema, cfg)
+    ut = user_tower(params, user_ids, batch["seq_user_sparse"],
+                    batch["seq_user_array"], fused, cfg)
+    return it + ut

@@ -1,0 +1,173 @@
+"""Sequence encoder (C6): fused embeddings -> N blocks -> final LayerNorm.
+
+Reproduces the reference ``log2feats`` semantics
+(``model/BaseLine/model.py:312-350``): sqrt(D) scaling, learned absolute
+positions ``1..L`` zeroed on padding ids, embedding dropout, causal ∧
+key-padding mask, ``norm_first`` pre-LN or post-LN residual wiring, final
+LayerNorm(eps=1e-8).
+
+FFN variants:
+- ``relu``: two pointwise linears + ReLU — the reference's Conv1d(k=1)
+  sandwich (``model.py:65-78``) is exactly a per-token linear, so it is one
+  here (a Conv1d with kernel 1 has no cross-token taps);
+- ``swiglu``: LLaMA-style packed SwiGLU with the 2/3 rule and
+  ``multiple_of`` rounding (BaseLineO1 ``model.py:103-165``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .attention import init_mha_params, mha
+from .embedding import layernorm, layernorm_init, linear_init
+from .hstu import hstu_block, init_hstu_params
+
+
+# ---------------------------------------------------------------------------
+# FFNs
+# ---------------------------------------------------------------------------
+
+def swiglu_hidden_dim(d_model: int, mult: float, multiple_of: int) -> int:
+    """BaseLineO1's hidden sizing: 2/3 rule then round up to multiple_of
+    (``BaseLineO1/model.py:120-131``)."""
+    hidden = int(2 * (d_model * mult) / 3)
+    return multiple_of * (-(-hidden // multiple_of))
+
+
+def init_ffn_params(key, cfg: ModelConfig) -> Dict:
+    D = cfg.hidden_units
+    if cfg.ffn_type == "swiglu":
+        H = swiglu_hidden_dim(D, cfg.ffn_hidden_mult, cfg.ffn_multiple_of)
+        ks = jax.random.split(key, 2)
+        return {  # bias-free packed w13 (D -> 2H) and w2 (H -> D)
+            "w13": linear_init(ks[0], D, 2 * H)["w"],
+            "w2": linear_init(ks[1], H, D)["w"],
+        }
+    ks = jax.random.split(key, 2)
+    return {"fc1": linear_init(ks[0], D, D), "fc2": linear_init(ks[1], D, D)}
+
+
+def ffn(params: Mapping, x: jnp.ndarray, cfg: ModelConfig,
+        train: bool = False, dropout_key: Optional[jax.Array] = None
+        ) -> jnp.ndarray:
+    dtype = x.dtype
+
+    def drop(v, key):
+        if train and cfg.dropout_rate > 0.0 and key is not None:
+            keep = jax.random.bernoulli(key, 1.0 - cfg.dropout_rate, v.shape)
+            return v * keep / (1.0 - cfg.dropout_rate)
+        return v
+
+    if "w13" in params:
+        x13 = x @ params["w13"].astype(dtype)
+        x1, x3 = jnp.split(x13, 2, axis=-1)
+        h = jax.nn.silu(x1) * x3
+        h = drop(h, dropout_key)
+        return h @ params["w2"].astype(dtype)
+    k1 = k2 = None
+    if dropout_key is not None:
+        k1, k2 = jax.random.split(dropout_key)
+    h = x @ params["fc1"]["w"].astype(dtype) + params["fc1"]["b"].astype(dtype)
+    h = jax.nn.relu(drop(h, k1))
+    h = h @ params["fc2"]["w"].astype(dtype) + params["fc2"]["b"].astype(dtype)
+    return drop(h, k2)
+
+
+# ---------------------------------------------------------------------------
+# Blocks + encoder
+# ---------------------------------------------------------------------------
+
+def init_block_params(key, cfg: ModelConfig) -> Dict:
+    ks = jax.random.split(key, 4)
+    ln_scale = 0.0 if cfg.reference_init else 1.0
+    p = {
+        "attn_ln": layernorm_init(cfg.hidden_units, ln_scale),
+        "ffn_ln": layernorm_init(cfg.hidden_units, ln_scale),
+        "ffn": init_ffn_params(ks[1], cfg),
+    }
+    if cfg.block_type == "hstu":
+        p["hstu"] = init_hstu_params(ks[0], cfg.hidden_units, cfg.num_heads,
+                                     cfg.hstu_rel_pos_buckets)
+    else:
+        p["attn"] = init_mha_params(ks[0], cfg.hidden_units)
+    return p
+
+
+def init_encoder_params(key, cfg: ModelConfig) -> Dict:
+    ks = jax.random.split(key, cfg.num_blocks + 1)
+    ln_scale = 0.0 if cfg.reference_init else 1.0
+    return {
+        "blocks": [init_block_params(ks[i], cfg)
+                   for i in range(cfg.num_blocks)],
+        "last_ln": layernorm_init(cfg.hidden_units, ln_scale),
+    }
+
+
+def attention_mask(seq_ids: jnp.ndarray, token_type: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """[B, L, L] bool: causal (tril) ∧ key-not-padding
+    (reference model.py:331-335 — keys masked where token_type == 0)."""
+    L = seq_ids.shape[1]
+    q = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    causal = (k <= q)[None]
+    key_ok = (token_type != 0)[:, None, :]
+    return jnp.logical_and(causal, key_ok)
+
+
+def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
+           token_type: jnp.ndarray, pos_table: jnp.ndarray,
+           cfg: ModelConfig, train: bool = False,
+           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """fused_emb [B, L, D] (output of embedding.fuse_sequence) -> [B, L, D]."""
+    dtype = jnp.dtype(cfg.dtype)
+    B, L, D = fused_emb.shape
+    x = fused_emb.astype(dtype) * jnp.asarray(D ** 0.5, dtype)
+
+    # positions 1..L, zeroed where the id is 0 (reference model.py:326-328)
+    poss = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) + 1
+    poss = poss * (seq_ids != 0)
+    x = x + jnp.take(pos_table, poss, axis=0).astype(dtype)
+
+    n_drops = 3 * cfg.num_blocks + 1
+    drop_keys = (jax.random.split(rng, n_drops)
+                 if (train and rng is not None) else [None] * n_drops)
+
+    if train and cfg.dropout_rate > 0.0 and drop_keys[0] is not None:
+        keep = jax.random.bernoulli(drop_keys[0], 1.0 - cfg.dropout_rate,
+                                    x.shape)
+        x = x * keep / (1.0 - cfg.dropout_rate)
+
+    mask = attention_mask(seq_ids, token_type)
+
+    for i, bp in enumerate(params["blocks"]):
+        ka, kf = drop_keys[1 + 3 * i], drop_keys[2 + 3 * i]
+        if cfg.block_type == "hstu":
+            # HSTU block is pre-norm by design: x + block(LN(x))
+            h = layernorm(_cast_ln(bp["attn_ln"], dtype), x)
+            x = x + hstu_block(bp["hstu"], h, mask, cfg.num_heads,
+                               cfg.dropout_rate, train, ka)
+            h = layernorm(_cast_ln(bp["ffn_ln"], dtype), x)
+            x = x + ffn(bp["ffn"], h, cfg, train, kf)
+        elif cfg.norm_first:
+            h = layernorm(_cast_ln(bp["attn_ln"], dtype), x)
+            x = x + mha(bp["attn"], h, mask, cfg.num_heads,
+                        cfg.dropout_rate, train, ka)
+            h = layernorm(_cast_ln(bp["ffn_ln"], dtype), x)
+            x = x + ffn(bp["ffn"], h, cfg, train, kf)
+        else:  # post-LN (reference default wiring, model.py:343-346)
+            a = mha(bp["attn"], x, mask, cfg.num_heads,
+                    cfg.dropout_rate, train, ka)
+            x = layernorm(_cast_ln(bp["attn_ln"], dtype), x + a)
+            f = ffn(bp["ffn"], x, cfg, train, kf)
+            x = layernorm(_cast_ln(bp["ffn_ln"], dtype), x + f)
+
+    return layernorm(_cast_ln(params["last_ln"], dtype), x)
+
+
+def _cast_ln(p, dtype):
+    return {"scale": p["scale"].astype(dtype), "bias": p["bias"].astype(dtype)}

@@ -1,0 +1,82 @@
+"""Training objectives: parity BCE (C7) and sampled softmax with logQ (F9).
+
+BCE matches the reference loss block (``model/BaseLine/main.py:173-190``):
+mean BCE-with-logits over positions whose next token is an item, positives
+labeled 1 and the single uniform negative labeled 0, plus BaseLine's explicit
+``l2_emb * ||item_emb||`` (L2 norm, *not* squared — a faithful quirk,
+``main.py:184-185``).
+
+Sampled softmax is the north-star upgrade: softmax CE over
+[positive | shared uniform negatives] with the logQ correction
+``logit_j - log(Q(j))`` so the sampled distribution is an unbiased estimate of
+full softmax (Bengio & Senécal, 2008). Negatives are shared across the batch
+(one draw per step), which turns scoring into one [B*L, D] x [D, N] matmul —
+MXU-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise stable binary cross-entropy with logits."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def reference_bce_loss(pos_logits: jnp.ndarray, neg_logits: jnp.ndarray,
+                       loss_mask: jnp.ndarray) -> jnp.ndarray:
+    """mean BCE(pos,1) + mean BCE(neg,0) over masked positions
+    (reference main.py:180-182 index-select then mean)."""
+    m = loss_mask.astype(jnp.float32)
+    n = jnp.maximum(m.sum(), 1.0)
+    pos = (bce_with_logits(pos_logits.astype(jnp.float32),
+                           jnp.ones_like(pos_logits, jnp.float32)) * m).sum() / n
+    neg = (bce_with_logits(neg_logits.astype(jnp.float32),
+                           jnp.zeros_like(neg_logits, jnp.float32)) * m).sum() / n
+    return pos + neg
+
+
+def l2_emb_penalty(item_emb: jnp.ndarray, l2_emb: float) -> jnp.ndarray:
+    """BaseLine's ``l2_emb * torch.norm(item_emb)`` — L2 norm, not squared."""
+    return l2_emb * jnp.sqrt(jnp.sum(item_emb.astype(jnp.float32) ** 2))
+
+
+def sampled_softmax_loss(query: jnp.ndarray, pos_emb: jnp.ndarray,
+                         neg_embs: jnp.ndarray, neg_ids: jnp.ndarray,
+                         pos_ids: jnp.ndarray, loss_mask: jnp.ndarray,
+                         num_items: int,
+                         temperature: float = 1.0) -> jnp.ndarray:
+    """Sampled softmax with logQ correction and accidental-hit masking.
+
+    query    [B, L, D]   — encoder outputs at prediction positions
+    pos_emb  [B, L, D]   — positive item embeddings
+    neg_embs [N, D]      — shared uniform negatives (one set per step)
+    neg_ids  [N], pos_ids [B, L] — for accidental-hit masking
+    loss_mask [B, L] bool
+
+    Uniform sampling means logQ is a constant and cancels for the negatives,
+    but the positive's correction differs (it is not sampled), so we keep the
+    explicit form: corrected = logit - log Q, Q_neg = 1/num_items each,
+    Q_pos -> no correction (count 1).
+    """
+    f32 = jnp.float32
+    q = query.astype(f32) / temperature
+    pos_logit = jnp.sum(q * pos_emb.astype(f32), axis=-1)          # [B, L]
+    neg_logit = jnp.einsum("bld,nd->bln", q, neg_embs.astype(f32))  # [B, L, N]
+    # logQ correction: negatives drawn uniformly from [1, num_items]
+    logq = -jnp.log(jnp.asarray(num_items, f32))
+    neg_logit = neg_logit - logq
+    # accidental hits: a sampled negative equal to the positive is masked out
+    hit = (neg_ids[None, None, :] == pos_ids[..., None])
+    neg_logit = jnp.where(hit, jnp.finfo(f32).min, neg_logit)
+
+    logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -logprobs[..., 0]
+    m = loss_mask.astype(f32)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)

@@ -1,0 +1,100 @@
+"""End-to-end smoke: synthetic data -> train -> checkpoint -> retrieve -> eval
+(SURVEY.md §7 step 3's minimum slice, on the synthetic mini split)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tencent_recommendation_2025_tpu.config import (Config, ModelConfig,
+                                                    RetrievalConfig,
+                                                    TrainConfig)
+from tencent_recommendation_2025_tpu.data import formats
+from tencent_recommendation_2025_tpu.data.dataset import TestSampler, TrainSampler
+from tencent_recommendation_2025_tpu.data.featurizer import pack_item_feat
+from tencent_recommendation_2025_tpu.data.pipeline import (TestLoader,
+                                                           TrainLoader,
+                                                           train_val_split)
+from tencent_recommendation_2025_tpu.data.readers import TencentGRData
+from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
+from tencent_recommendation_2025_tpu.retrieval.ann import run_ann
+from tencent_recommendation_2025_tpu.retrieval.evaluator import hr_ndcg_at_k
+from tencent_recommendation_2025_tpu.train.checkpoint import (
+    latest_checkpoint, load_checkpoint)
+from tencent_recommendation_2025_tpu.train.trainer import (device_tables,
+                                                           train_loop)
+
+
+def test_train_retrieve_eval(small_setup, tmp_path):
+    cfg = small_setup["cfg"].replace(
+        train=TrainConfig(batch_size=16, num_epochs=2, lr=1e-2))
+    data = small_setup["data"]
+    schema = small_setup["schema"]
+    model = small_setup["model"]
+    tables = small_setup["tables"]
+
+    sampler = TrainSampler(data, schema, model.cfg.maxlen)
+    tr, va = train_val_split(len(sampler), 0.1, 0)
+    tl = TrainLoader(sampler, tr, cfg.train.batch_size, seed=0)
+    vl = TrainLoader(sampler, va, cfg.train.batch_size, seed=0, shuffle=False)
+    state = train_loop(model, cfg, tl, vl, tables,
+                       log_dir=str(tmp_path / "logs"),
+                       ckpt_dir=str(tmp_path / "ckpt"), verbose=False)
+
+    # telemetry contract: JSONL train.log with the reference keys
+    lines = [json.loads(l) for l in open(tmp_path / "logs" / "train.log")]
+    assert lines and all(
+        k in lines[0] for k in ("global_step", "epoch", "step", "loss",
+                                "step_time", "steps_per_second"))
+    # loss must decrease over training
+    assert lines[-1]["loss"] < lines[0]["loss"]
+
+    # checkpoint round-trip
+    ck = latest_checkpoint(tmp_path / "ckpt")
+    assert ck is not None and ck.name.startswith("global_step")
+    restored, meta = load_checkpoint(ck, state)
+    np.testing.assert_allclose(np.asarray(restored.params["item_emb"]),
+                               np.asarray(state.params["item_emb"]))
+
+    # inference: queries + corpus -> files -> ANN -> HR/NDCG
+    test_data = TencentGRData(small_setup["dir"], mm_emb_ids=("81",),
+                              split="test")
+    ts = TestSampler(test_data, schema, model.cfg.maxlen)
+    dtabs = device_tables(tables)
+    queries, users = [], []
+    for batch, uids, n_valid in TestLoader(ts, batch_size=16):
+        q = model.predict(restored.params, jax.device_put(batch), dtabs["mm"])
+        queries.append(np.asarray(q)[:n_valid])
+        users += uids[:n_valid]
+    queries = np.concatenate(queries).astype(np.float32)
+
+    cand = [json.loads(l) for l in open(small_setup["dir"] / "predict_set.jsonl")]
+    ids = np.array([data.indexer["i"].get(c["creative_id"], 0) for c in cand],
+                   np.int32)
+    rids = np.array([c["retrieval_id"] for c in cand], np.uint64)
+    sp = np.stack([pack_item_feat(c["features"], schema)[0] for c in cand])
+    ar = np.stack([pack_item_feat(c["features"], schema)[1] for c in cand])
+    mm = {"81": jnp.asarray(np.stack([tables.mm["81"][i] for i in ids]))}
+    embs = np.asarray(model.encode_items(
+        restored.params, jnp.asarray(ids), jnp.asarray(sp), jnp.asarray(ar),
+        mm))
+
+    res = tmp_path / "result"
+    res.mkdir()
+    formats.save_emb(embs.astype(np.float32), res / "embedding.fbin")
+    formats.save_emb(rids.reshape(-1, 1), res / "id.u64bin")
+    formats.save_emb(queries, res / "query.fbin")
+    out = run_ann(res, RetrievalConfig(method="exact"))
+    top = formats.read_result_ids(out)
+    assert top.shape == (len(users), 10)
+
+    rid2cid = {c["retrieval_id"]: c["creative_id"] for c in cand}
+    topids = {u: [rid2cid[int(r)] for r in row]
+              for u, row in zip(users, top)}
+    gt = json.load(open(small_setup["dir"] / "ground_truth.json"))
+    m = hr_ndcg_at_k(topids, gt, k=10)
+    assert m["n"] == len(gt)
+    # tiny corpus: must beat the random-retrieval floor (10/100)
+    assert m["hr"] > 0.15, m
