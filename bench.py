@@ -1,0 +1,73 @@
+"""Benchmark: flagship train-step throughput on the available accelerator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+
+Config = BASELINE.json configs[1] (BaseLineO1 HSTU: 8 blocks, D=64, seq 1024,
+B=128, SwiGLU, bf16). The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is measured against this repo's own recorded round-1 value
+(BENCH_BASELINE below); the first run defines the baseline (ratio 1.0).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+# Round-1 self-baseline (examples/s/chip on 1x TPU v5e via this harness).
+# Updated when a faster round lands; None -> this run defines it.
+BENCH_BASELINE = None
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as G
+    from tencent_recommendation_2025_tpu.parallel import mesh as M
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+
+    B, L = 128, 1024
+    cfg, schema, fused, model = G._make_synthetic_setup(
+        maxlen=L - 1, hidden=64, num_blocks=8, num_heads=4,
+        block_type="hstu", itemnum=100_000, usernum=10_000)
+    rng = np.random.default_rng(0)
+    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum)
+    tables = G._make_tables(rng, model.itemnum, schema)
+
+    mesh = M.build_mesh(MeshConfig(data=jax.device_count(), model=1, seq=1))
+    state, tx = PT.init_sharded_state(model, cfg, mesh)
+    batch = PT.shard_batch(mesh, batch)
+    tables = PT.shard_tables(mesh, tables)
+    step = PT.make_sharded_train_step(model, tx, cfg, mesh)
+    key = jax.random.key(0)
+
+    # warmup (compile + 2 steps)
+    for _ in range(3):
+        state, metrics = step(state, batch, tables["mm"], tables, key)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, tables["mm"], tables, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_s = B * iters / dt
+    per_chip = examples_per_s / jax.device_count()
+    baseline = BENCH_BASELINE or per_chip
+    print(json.dumps({
+        "metric": "hstu_flagship_train_examples_per_s_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(per_chip / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

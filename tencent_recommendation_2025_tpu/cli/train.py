@@ -1,0 +1,155 @@
+"""Train driver — the reference ``main.py`` contract, TPU-native.
+
+Same argparse surface (reference ``model/BaseLine/main.py:17-48``) plus
+framework flags, same env-var directory contract (``TRAIN_DATA_PATH``,
+``TRAIN_LOG_PATH``, ``TRAIN_TF_EVENTS_PATH``, ``TRAIN_CKPT_PATH``,
+``main.py:52-57``), same outputs (JSONL train.log, TensorBoard events,
+per-epoch checkpoints named ``global_step{N}.valid_loss={v}``).
+
+The accel flags differ by design: AMP/TF32/cuDNN toggles become the bf16
+compute dtype (on by default); ``torch.compile`` is simply XLA.
+
+Usage:
+    TRAIN_DATA_PATH=... TRAIN_CKPT_PATH=... python -m \
+        tencent_recommendation_2025_tpu.cli.train --preset baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from pathlib import Path
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    # reference train params (main.py:21-44)
+    p.add_argument("--batch_size", default=None, type=int)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--maxlen", default=None, type=int)
+    p.add_argument("--hidden_units", default=None, type=int)
+    p.add_argument("--num_blocks", default=None, type=int)
+    p.add_argument("--num_epochs", default=None, type=int)
+    p.add_argument("--num_heads", default=None, type=int)
+    p.add_argument("--dropout_rate", default=None, type=float)
+    p.add_argument("--l2_emb", default=None, type=float)
+    p.add_argument("--device", default=None, type=str,
+                   help="accepted for reference compatibility; ignored "
+                        "(JAX owns placement)")
+    p.add_argument("--inference_only", action="store_true")
+    p.add_argument("--state_dict_path", default=None, type=str,
+                   help="checkpoint dir (or file) to resume from")
+    p.add_argument("--norm_first", action="store_true")
+    p.add_argument("--mm_emb_id", nargs="+", default=["81"], type=str,
+                   choices=[str(s) for s in range(81, 87)])
+    # framework flags
+    p.add_argument("--preset", default="baseline",
+                   choices=["baseline", "baseline_o1", "hstu_mini",
+                            "hstu_flagship", "sampled_softmax_dp",
+                            "sharded_multihost"])
+    p.add_argument("--block_type", default=None, choices=["mha", "hstu"])
+    p.add_argument("--loss_type", default=None,
+                   choices=["bce", "sampled_softmax"])
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--mesh_data", default=None, type=int)
+    p.add_argument("--mesh_model", default=None, type=int)
+    p.add_argument("--mesh_seq", default=None, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--seed", default=None, type=int)
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from ..config import PRESETS
+
+    cfg = PRESETS[args.preset]()
+    model_over = {k: getattr(args, k) for k in
+                  ("hidden_units", "num_blocks", "num_heads", "maxlen",
+                   "dropout_rate", "block_type", "dtype")
+                  if getattr(args, k) is not None}
+    if args.norm_first:
+        model_over["norm_first"] = True
+    train_over = {k: getattr(args, k) for k in
+                  ("batch_size", "lr", "num_epochs", "l2_emb", "loss_type",
+                   "seed") if getattr(args, k) is not None}
+    mesh_over = {}
+    for ax in ("data", "model", "seq"):
+        v = getattr(args, f"mesh_{ax}")
+        if v is not None:
+            mesh_over[ax] = v
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, **model_over),
+        train=dataclasses.replace(cfg.train, **train_over),
+        mesh=dataclasses.replace(cfg.mesh, **mesh_over),
+        features=dataclasses.replace(cfg.features,
+                                     mm_emb_ids=tuple(args.mm_emb_id)),
+    )
+    return cfg
+
+
+def main(argv=None):
+    args = get_args(argv)
+    cfg = build_config(args)
+
+    from ..config import EnvPaths
+    from ..data.dataset import TrainSampler
+    from ..data.featurizer import FusedVocab, build_item_tables
+    from ..data.pipeline import TrainLoader, train_val_split
+    from ..data.readers import TencentGRData
+    from ..data.schema import FeatureSchema
+    from ..models.baseline import SeqRecModel
+    from ..train import checkpoint as CK
+    from ..train.trainer import init_state, make_optimizer, train_loop
+    from ..utils.sysinfo import print_system_info
+
+    env = EnvPaths.from_env()
+    assert env.train_data_path, "TRAIN_DATA_PATH must be set"
+
+    print("System info:")
+    print_system_info()
+
+    data = TencentGRData(env.train_data_path,
+                         mm_emb_ids=cfg.features.mm_emb_ids)
+    schema = FeatureSchema.from_indexer(data.indexer,
+                                        cfg.features.mm_emb_ids,
+                                        cfg.features.array_cap)
+    fused = FusedVocab.build(schema)
+    tables = build_item_tables(data.item_feat_dict, data.itemnum, schema,
+                               data.mm_emb_dict, data.indexer_i_rev)
+    model = SeqRecModel(cfg=cfg.model, schema=schema, fused=fused,
+                        usernum=data.usernum, itemnum=data.itemnum)
+
+    sampler = TrainSampler(data, schema, cfg.model.maxlen)
+    tr_idx, va_idx = train_val_split(len(sampler),
+                                     cfg.train.valid_fraction,
+                                     cfg.train.seed)
+    import jax
+    train_loader = TrainLoader(sampler, tr_idx, cfg.train.batch_size,
+                               seed=cfg.train.seed,
+                               num_workers=args.num_workers,
+                               host_id=jax.process_index(),
+                               num_hosts=jax.process_count())
+    valid_loader = TrainLoader(sampler, va_idx, cfg.train.batch_size,
+                               seed=cfg.train.seed, shuffle=False,
+                               num_workers=args.num_workers)
+
+    state = None
+    if args.state_dict_path:
+        tx = make_optimizer(cfg)
+        template = init_state(model, tx, cfg.train.seed)
+        state, meta = CK.load_checkpoint(args.state_dict_path, template)
+        print(f"resumed from {args.state_dict_path} (meta {meta})")
+
+    if args.inference_only:
+        print("inference_only: skipping training")
+        return
+
+    train_loop(model, cfg, train_loader, valid_loader, tables,
+               log_dir=env.train_log_path, tb_dir=env.train_tf_events_path,
+               ckpt_dir=env.train_ckpt_path, state=state)
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,8 +53,15 @@ def safe_masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def mha(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray, num_heads: int,
         dropout_rate: float = 0.0, train: bool = False,
-        dropout_key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Self-attention. ``x`` [B, L, D]; ``mask`` [B, L, L] bool (True=attend)."""
+        dropout_key: Optional[jax.Array] = None,
+        core=None) -> jnp.ndarray:
+    """Self-attention. ``x`` [B, L, D]; ``mask`` [B, L, L] bool (True=attend).
+
+    ``core`` optionally replaces the dense attention inner loop with a fused /
+    distributed implementation: ``core(q, k, v) -> out`` over [B, H, L, hd]
+    (used for the Pallas flash kernel and the sequence-parallel ring —
+    attention-weight dropout is skipped on those paths).
+    """
     dtype = x.dtype
     d_model = x.shape[-1]
     head_dim = d_model // num_heads
@@ -66,14 +73,17 @@ def mha(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray, num_heads: int,
     k = _split_heads(proj(params["k"], x), num_heads)
     v = _split_heads(proj(params["v"], x), num_heads)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (head_dim ** -0.5)
-    probs = safe_masked_softmax(scores, mask[:, None, :, :])
-    if train and dropout_rate > 0.0 and dropout_key is not None:
-        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate,
-                                    probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
-                     preferred_element_type=jnp.float32).astype(dtype)
+    if core is not None:
+        out = core(q, k, v)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (head_dim ** -0.5)
+        probs = safe_masked_softmax(scores, mask[:, None, :, :])
+        if train and dropout_rate > 0.0 and dropout_key is not None:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate,
+                                        probs.shape)
+            probs = probs * keep / (1.0 - dropout_rate)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
+                         preferred_element_type=jnp.float32).astype(dtype)
     return proj(params["o"], _merge_heads(out))

@@ -64,7 +64,7 @@ class SeqRecModel:
     def log2feats(self, params: Mapping, batch: Mapping,
                   mm_tables: Mapping[str, jnp.ndarray],
                   train: bool = False,
-                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                  rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
         fused_emb = E.fuse_sequence(params, batch, mm_tables, self.fused,
                                     self.schema, self.cfg)
         enc_rng = None
@@ -72,13 +72,14 @@ class SeqRecModel:
             rng, enc_rng = jax.random.split(rng)
         return ENC.encode(params, fused_emb, batch["seq"],
                           batch["token_type"], params["pos_emb"], self.cfg,
-                          train=train, rng=enc_rng)
+                          train=train, rng=enc_rng, mesh=mesh)
 
     # ---- training forward ---------------------------------------------
     def forward(self, params: Mapping, batch: Mapping,
                 mm_tables: Mapping[str, jnp.ndarray],
                 item_tables: Mapping[str, jnp.ndarray],
-                train: bool = True, rng: Optional[jax.Array] = None
+                train: bool = True, rng: Optional[jax.Array] = None,
+                mesh=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (log_feats [B,L,D], pos_embs, neg_embs).
 
@@ -87,12 +88,12 @@ class SeqRecModel:
         ``dataset.py:159`` which does dict lookups per position).
         """
         log_feats = self.log2feats(params, batch, mm_tables, train=train,
-                                   rng=rng)
+                                   rng=rng, mesh=mesh)
         pos_embs = self.item_embeddings(params, batch["pos"],
                                         batch["pos_item_sparse"],
                                         batch["pos_item_array"], mm_tables)
-        neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0)
-        neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0)
+        neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0, mode="clip")
+        neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0, mode="clip")
         neg_embs = self.item_embeddings(params, batch["neg"], neg_sparse,
                                         neg_array, mm_tables)
         return log_feats, pos_embs, neg_embs
@@ -100,12 +101,14 @@ class SeqRecModel:
     def logits(self, params: Mapping, batch: Mapping,
                mm_tables: Mapping[str, jnp.ndarray],
                item_tables: Mapping[str, jnp.ndarray],
-               train: bool = True, rng: Optional[jax.Array] = None
+               train: bool = True, rng: Optional[jax.Array] = None,
+               mesh=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(pos_logits, neg_logits, loss_mask) as in reference forward
         (``model.py:373-384``): dot products masked to next-item positions."""
         log_feats, pos_embs, neg_embs = self.forward(
-            params, batch, mm_tables, item_tables, train=train, rng=rng)
+            params, batch, mm_tables, item_tables, train=train, rng=rng,
+            mesh=mesh)
         loss_mask = (batch["next_token_type"] == 1)
         if "sample_valid" in batch:
             loss_mask = jnp.logical_and(loss_mask,

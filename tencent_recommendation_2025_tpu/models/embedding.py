@@ -116,8 +116,13 @@ def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
 # ---------------------------------------------------------------------------
 
 def masked_take(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """``table[ids] * (ids != 0)`` — the padding_idx-0 contract."""
-    emb = jnp.take(table, ids, axis=0)
+    """``table[ids] * (ids != 0)`` — the padding_idx-0 contract.
+
+    mode='clip': out-of-range ids clamp to the last row instead of jnp's
+    default fill-with-NaN (torch would raise; clamping keeps the step alive
+    and the dataset layer is responsible for id validity).
+    """
+    emb = jnp.take(table, ids, axis=0, mode="clip")
     return emb * (ids != 0)[..., None].astype(emb.dtype)
 
 
@@ -208,7 +213,7 @@ def gather_mm(mm_tables: Mapping[str, jnp.ndarray], ids: jnp.ndarray,
     (``model.py:281-299``). id 0 (padding / user tokens / cold items) hits the
     zero row, matching ``fill_missing_feat``'s zero default.
     """
-    return {fid: jnp.take(mm_tables[fid], ids, axis=0)
+    return {fid: jnp.take(mm_tables[fid], ids, axis=0, mode="clip")
             for fid in schema.mm_emb_ids}
 
 

@@ -119,10 +119,49 @@ def attention_mask(seq_ids: jnp.ndarray, token_type: jnp.ndarray
     return jnp.logical_and(causal, key_ok)
 
 
+def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
+                         mesh=None):
+    """Select the attention inner-loop implementation.
+
+    - ``mesh`` with a non-trivial ``seq`` axis -> sequence-parallel ring
+      attention (parallel/ring_attention.py);
+    - TPU backend with flash-worthy shapes -> fused Pallas kernels (ops/);
+    - otherwise the dense XLA path (core=None).
+
+    Returns (mha_core, hstu_core) or (None, None).
+    """
+    L = token_type.shape[1]
+    if mesh is not None and mesh.shape.get("seq", 1) > 1:
+        from ..parallel import ring_attention as RA
+
+        valid = token_type != 0
+        hd = cfg.hidden_units // cfg.num_heads
+
+        def mha_core(q, k, v):
+            return RA.ring_attention(mesh, q, k, v, valid)
+
+        def hstu_core(q, k, v, rab):
+            return RA.ring_hstu_attention(mesh, q, k, v, valid, rab,
+                                          hd ** -0.5, seq_len=L)
+
+        return mha_core, hstu_core
+    if cfg.use_flash_attention and L >= 256 and L % 128 == 0 \
+            and jax.default_backend() == "tpu":
+        from ..ops import hstu_attention as HK
+
+        valid = token_type != 0
+
+        def hstu_core(q, k, v, rab):
+            return HK.hstu_attention(q, k, v, valid, rab, seq_len=L)
+
+        return None, hstu_core
+    return None, None
+
+
 def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
            token_type: jnp.ndarray, pos_table: jnp.ndarray,
            cfg: ModelConfig, train: bool = False,
-           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+           rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
     """fused_emb [B, L, D] (output of embedding.fuse_sequence) -> [B, L, D]."""
     dtype = jnp.dtype(cfg.dtype)
     B, L, D = fused_emb.shape
@@ -142,7 +181,12 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
                                     x.shape)
         x = x * keep / (1.0 - cfg.dropout_rate)
 
-    mask = attention_mask(seq_ids, token_type)
+    mha_core, hstu_core = make_attention_cores(cfg, token_type, mesh)
+    # the dense path needs the [B, L, L] mask; fused/ring cores build their
+    # masking internally from token_type
+    need_dense_mask = (cfg.block_type == "hstu" and hstu_core is None) or \
+        (cfg.block_type != "hstu" and mha_core is None)
+    mask = attention_mask(seq_ids, token_type) if need_dense_mask else None
 
     for i, bp in enumerate(params["blocks"]):
         ka, kf = drop_keys[1 + 3 * i], drop_keys[2 + 3 * i]
@@ -150,18 +194,18 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
             # HSTU block is pre-norm by design: x + block(LN(x))
             h = layernorm(_cast_ln(bp["attn_ln"], dtype), x)
             x = x + hstu_block(bp["hstu"], h, mask, cfg.num_heads,
-                               cfg.dropout_rate, train, ka)
+                               cfg.dropout_rate, train, ka, core=hstu_core)
             h = layernorm(_cast_ln(bp["ffn_ln"], dtype), x)
             x = x + ffn(bp["ffn"], h, cfg, train, kf)
         elif cfg.norm_first:
             h = layernorm(_cast_ln(bp["attn_ln"], dtype), x)
             x = x + mha(bp["attn"], h, mask, cfg.num_heads,
-                        cfg.dropout_rate, train, ka)
+                        cfg.dropout_rate, train, ka, core=mha_core)
             h = layernorm(_cast_ln(bp["ffn_ln"], dtype), x)
             x = x + ffn(bp["ffn"], h, cfg, train, kf)
         else:  # post-LN (reference default wiring, model.py:343-346)
             a = mha(bp["attn"], x, mask, cfg.num_heads,
-                    cfg.dropout_rate, train, ka)
+                    cfg.dropout_rate, train, ka, core=mha_core)
             x = layernorm(_cast_ln(bp["attn_ln"], dtype), x + a)
             f = ffn(bp["ffn"], x, cfg, train, kf)
             x = layernorm(_cast_ln(bp["ffn_ln"], dtype), x + f)

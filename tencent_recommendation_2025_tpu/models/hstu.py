@@ -56,9 +56,14 @@ def rel_pos_bias(rab: jnp.ndarray, seq_len: int) -> jnp.ndarray:
 def hstu_block(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray,
                num_heads: int, dropout_rate: float = 0.0,
                train: bool = False,
-               dropout_key: Optional[jax.Array] = None) -> jnp.ndarray:
+               dropout_key: Optional[jax.Array] = None,
+               core=None) -> jnp.ndarray:
     """x [B, L, D]; mask [B, L, L] bool (True = attend). Returns the block
-    output *without* the residual (the encoder owns residual wiring)."""
+    output *without* the residual (the encoder owns residual wiring).
+
+    ``core(q, k, v, rab) -> av`` over [B, H, L, hd] optionally replaces the
+    dense pointwise-attention inner loop (Pallas fused kernel / SP ring).
+    """
     dtype = x.dtype
     B, L, D = x.shape
     hd = D // num_heads
@@ -72,14 +77,17 @@ def hstu_block(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray,
         return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (hd ** -0.5)
-    scores = scores + rel_pos_bias(params["rab"], L)[None]
-    attn = jax.nn.silu(scores) * mask[:, None].astype(jnp.float32)
-    attn = attn / jnp.asarray(L, jnp.float32)   # pointwise 1/n normalization
-    av = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(dtype), vh,
-                    preferred_element_type=jnp.float32).astype(dtype)
+    if core is not None:
+        av = core(qh, kh, vh, params["rab"])
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5)
+        scores = scores + rel_pos_bias(params["rab"], L)[None]
+        attn = jax.nn.silu(scores) * mask[:, None].astype(jnp.float32)
+        attn = attn / jnp.asarray(L, jnp.float32)  # pointwise 1/n norm
+        av = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(dtype), vh,
+                        preferred_element_type=jnp.float32).astype(dtype)
     av = av.transpose(0, 2, 1, 3).reshape(B, L, D)
 
     ln = {"scale": params["attn_ln"]["scale"].astype(dtype),

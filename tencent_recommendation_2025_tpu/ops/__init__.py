@@ -1,1 +1,1 @@
-from . import losses  # noqa: F401
+from . import losses, hstu_attention  # noqa: F401

@@ -1,0 +1,66 @@
+"""Device mesh + axis conventions (F1/F6 of SURVEY.md §2.2).
+
+The reference is single-process single-GPU (SURVEY.md §1 L4); the distributed
+backend here is the XLA runtime itself: one global ``jax.sharding.Mesh`` over
+the pod slice with axes
+
+- ``data``  — data parallelism (batch axis; gradient psum over ICI/DCN)
+- ``model`` — tensor parallelism (tower/attention projections column/row split)
+- ``seq``   — sequence/context parallelism (ring attention over L)
+
+Embedding tables row-shard over the flattened (data, model) axes — every chip
+holds a distinct table shard (the EP analog, parallel/sharded_embedding.py).
+No hand-written transport: collectives are compiled by XLA from sharding
+annotations; multi-host init is one ``jax.distributed.initialize`` call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+AXES = ("data", "model", "seq")
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host runtime bring-up. No-op for single-process runs."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def build_mesh(cfg: MeshConfig = MeshConfig(),
+               devices: Optional[Sequence] = None) -> Mesh:
+    """Build the (data, model, seq) mesh. If the config doesn't cover all
+    devices, the remainder folds into the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dm, dt, ds = cfg.data, cfg.model, cfg.seq
+    want = dm * dt * ds
+    if want != n:
+        assert n % (dt * ds) == 0, \
+            f"{n} devices not divisible by model*seq={dt * ds}"
+        dm = n // (dt * ds)
+    arr = np.asarray(devices).reshape(dm, dt, ds)
+    return Mesh(arr, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), AXES)
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def host_batch_slice(global_batch: int) -> int:
+    """Per-host batch size under multi-host DP."""
+    return global_batch // jax.process_count()

@@ -62,19 +62,20 @@ def device_tables(item_tables: ItemFeatureTables) -> Dict[str, Any]:
 
 
 def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
-                 cfg: Config, train: bool, rng) -> Tuple[jnp.ndarray, Dict]:
+                 cfg: Config, train: bool, rng,
+                 mesh=None) -> Tuple[jnp.ndarray, Dict]:
     if cfg.train.loss_type == "sampled_softmax":
         rng, neg_rng = jax.random.split(rng) if rng is not None \
             else (None, jax.random.key(0))
         log_feats = model.log2feats(params, batch, mm_tables, train=train,
-                                    rng=rng)
+                                    rng=rng, mesh=mesh)
         pos_embs = model.item_embeddings(params, batch["pos"],
                                          batch["pos_item_sparse"],
                                          batch["pos_item_array"], mm_tables)
         n = cfg.train.num_sampled_negatives
         neg_ids = jax.random.randint(neg_rng, (n,), 1, model.itemnum + 1)
-        neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0)
-        neg_array = jnp.take(item_tables["array"], neg_ids, axis=0)
+        neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0, mode="clip")
+        neg_array = jnp.take(item_tables["array"], neg_ids, axis=0, mode="clip")
         neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
                                          neg_array, mm_tables)
         loss_mask = batch["next_token_type"] == 1
@@ -84,7 +85,7 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                                       batch["pos"], loss_mask, model.itemnum)
         return loss, {"loss": loss}
     pos_logits, neg_logits, loss_mask = model.logits(
-        params, batch, mm_tables, item_tables, train=train, rng=rng)
+        params, batch, mm_tables, item_tables, train=train, rng=rng, mesh=mesh)
     bce = L.reference_bce_loss(pos_logits, neg_logits, loss_mask)
     loss = bce
     if cfg.train.l2_emb > 0.0:
@@ -93,13 +94,13 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
 
 
 def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
-                    cfg: Config):
+                    cfg: Config, mesh=None):
     def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             return compute_loss(model, params, batch, mm_tables, item_tables,
-                                cfg, train=True, rng=rng)
+                                cfg, train=True, rng=rng, mesh=mesh)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -1,0 +1,69 @@
+"""Fused HSTU Pallas kernel vs dense oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tencent_recommendation_2025_tpu.ops import hstu_attention as HK
+
+
+def _inputs(B=2, H=2, L=256, hd=16, buckets=128, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, L, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, hd)), jnp.float32)
+    rab = jnp.asarray(rng.standard_normal((H, buckets)), jnp.float32) * 0.1
+    valid = np.ones((B, L), bool)
+    valid[0, :17] = False   # left padding
+    return q, k, v, jnp.asarray(valid), rab
+
+
+def test_forward_matches_oracle():
+    q, k, v, valid, rab = _inputs()
+    out = HK.hstu_attention(q, k, v, valid, rab, seq_len=q.shape[2],
+                            interpret=True)
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=q.shape[2])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_forward_small_buckets():
+    # buckets < BLK: the far-constant path dominates
+    q, k, v, valid, rab = _inputs(L=384, buckets=16, seed=1)
+    out = HK.hstu_attention(q, k, v, valid, rab, seq_len=q.shape[2],
+                            interpret=True)
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=q.shape[2])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_forward_large_buckets():
+    # buckets > 2*BLK: several near tiles
+    q, k, v, valid, rab = _inputs(L=512, buckets=384, seed=2)
+    out = HK.hstu_attention(q, k, v, valid, rab, seq_len=q.shape[2],
+                            interpret=True)
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=q.shape[2])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_oracle():
+    q, k, v, valid, rab = _inputs(B=1, H=2, L=256, seed=3)
+    L = q.shape[2]
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal(q.shape), jnp.float32)
+
+    def f_kernel(q, k, v, rab):
+        return (HK.hstu_attention(q, k, v, valid, rab, seq_len=L,
+                                  interpret=True) * cot).sum()
+
+    def f_oracle(q, k, v, rab):
+        return (HK.hstu_attention_oracle(q, k, v, valid, rab,
+                                         seq_len=L) * cot).sum()
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
