@@ -76,8 +76,12 @@ def match_partition_rules(rules, tree) -> Any:
         s = _path_str(path)
         for pattern, spec in rules:
             if re.search(pattern, s):
-                # drop axes the leaf doesn't have (e.g. 1-D bias with 2-D rule)
                 ndim = getattr(leaf, "ndim", 0)
+                # encoder blocks are stacked with a leading [num_blocks] scan
+                # axis (models/encoder.py): rules address the trailing dims
+                if s.startswith("blocks/"):
+                    spec = P(None, *spec)
+                # drop axes the leaf doesn't have (e.g. 1-D bias with 2-D rule)
                 return P(*spec[:ndim]) if len(spec) > ndim else spec
         return P()
 

@@ -36,12 +36,21 @@ def _to_plain(state: Any):
 def save_checkpoint(ckpt_dir, state: Any, global_step: int,
                     valid_loss: float = 0.0, extra_meta: Optional[dict] = None
                     ) -> Path:
+    """Atomic write: stage into ``<name>.tmp`` then rename, so a crash
+    mid-write never leaves a checkpoint that ``latest_checkpoint`` would
+    pick up (it requires the final dir name + state file)."""
     out = Path(ckpt_dir) / f"global_step{global_step}.valid_loss={valid_loss:.4f}"
-    out.mkdir(parents=True, exist_ok=True)
-    (out / CKPT_FILE).write_bytes(serialization.to_bytes(_to_plain(state)))
+    tmp = out.with_name(out.name + ".tmp")
+    tmp.mkdir(parents=True, exist_ok=True)
+    (tmp / CKPT_FILE).write_bytes(serialization.to_bytes(_to_plain(state)))
     meta = {"global_step": global_step, "valid_loss": valid_loss}
     meta.update(extra_meta or {})
-    (out / META_FILE).write_text(json.dumps(meta))
+    (tmp / META_FILE).write_text(json.dumps(meta))
+    if out.exists():
+        import shutil
+
+        shutil.rmtree(out)
+    tmp.rename(out)
     return out
 
 

@@ -157,16 +157,20 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
 
     from ..data.pipeline import prefetch_to_device
 
-    for epoch in range(1, epochs + 1):
-        for step, batch in enumerate(
-                prefetch_to_device(train_loader.epoch(epoch))):
-            t0 = time.time()
-            state, metrics = train_step(state, batch, mm_tables, tables, rng)
-            loss = float(metrics["loss"])  # host sync once per step, post-update
-            rec = timer.tick(time.time() - t0)
-            gs = timer.global_step
-            rec.update({"global_step": gs, "epoch": epoch, "step": step,
-                        "loss": loss})
+    # Metrics stay on device and are fetched in batches every ``log_every``
+    # steps — a per-step ``float(loss)`` would force a host<->device sync
+    # per step and serialize the pipeline (the reference syncs every step,
+    # ``main.py:206``; on TPU that can dominate step time).
+    pending = []  # (record-dict-without-loss, device metrics)
+
+    def flush(epoch):
+        if not pending:
+            return
+        fetched = jax.device_get([m for _, m in pending])
+        for (rec, _), m in zip(pending, fetched):
+            loss = float(m["loss"])
+            gs = rec["global_step"]
+            rec["loss"] = loss
             jlog.write(rec)
             tb.scalar("Loss/train", loss, gs)
             tb.scalar("Performance/step_time", rec["step_time"], gs)
@@ -176,13 +180,29 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                       rec["steps_per_second"] * cfg.train.batch_size /
                       max(1, jax.device_count()), gs)
             if gs % cfg.train.grad_log_every == 0:
-                tb.scalar("Gradient/max", float(metrics["grad_max"]), gs)
-                tb.scalar("Gradient/mean", float(metrics["grad_mean"]), gs)
-            if verbose and step % cfg.train.log_every == 0:
-                print(f"  epoch {epoch} step {step + 1}/{len(train_loader)} "
-                      f"loss {loss:.4f} "
-                      f"{rec['steps_per_second']:.2f} steps/s "
-                      f"ETA {T.format_time(rec['estimated_remaining_time'])}")
+                tb.scalar("Gradient/max", float(m["grad_max"]), gs)
+                tb.scalar("Gradient/mean", float(m["grad_mean"]), gs)
+        last_rec, last_m = pending[-1]
+        if verbose:
+            print(f"  epoch {epoch} step {last_rec['step'] + 1}/"
+                  f"{len(train_loader)} "
+                  f"loss {float(fetched[-1]['loss']):.4f} "
+                  f"{last_rec['steps_per_second']:.2f} steps/s "
+                  f"ETA {T.format_time(last_rec['estimated_remaining_time'])}")
+        pending.clear()
+
+    for epoch in range(1, epochs + 1):
+        for step, batch in enumerate(
+                prefetch_to_device(train_loader.epoch(epoch))):
+            t0 = time.time()
+            state, metrics = train_step(state, batch, mm_tables, tables, rng)
+            rec = timer.tick(time.time() - t0)
+            rec.update({"global_step": timer.global_step, "epoch": epoch,
+                        "step": step})
+            pending.append((rec, metrics))
+            if (step + 1) % cfg.train.log_every == 0:
+                flush(epoch)
+        flush(epoch)
 
         # validation pass (reference main.py:233-262)
         vstart = time.time()

@@ -130,7 +130,7 @@ def test_partition_rules_cover_model(small_setup, mesh8):
     assert shardings["item_emb"].spec == P(("data", "model"), None)
     assert shardings["pos_emb"].spec == P()
     assert shardings["itemdnn"]["w"].spec == P(None, "model")
-    assert shardings["blocks"][0]["attn"]["o"]["w"].spec == P("model", None)
+    assert shardings["blocks"]["attn"]["o"]["w"].spec == P(None, "model", None)
     # every leaf got a sharding
     assert len(jax.tree.leaves(shardings, is_leaf=lambda x: isinstance(
         x, NamedSharding))) == len(jax.tree.leaves(params))

@@ -1,0 +1,111 @@
+"""Checkpoint/resume semantics + supervisor restart with fault injection
+(SURVEY.md §5 failure detection / elastic recovery)."""
+
+import numpy as np
+import pytest
+
+from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+from tencent_recommendation_2025_tpu.data.pipeline import (TrainLoader,
+                                                           train_val_split)
+from tencent_recommendation_2025_tpu.train import checkpoint as CK
+from tencent_recommendation_2025_tpu.train.supervisor import (FaultInjected,
+                                                              run_supervised)
+from tencent_recommendation_2025_tpu.train.trainer import (
+    device_tables, init_state, make_optimizer, make_train_step)
+
+import jax
+
+
+def _setup(small_setup):
+    model = small_setup["model"]
+    cfg = small_setup["cfg"]
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=model.cfg.maxlen)
+    tr, _ = train_val_split(len(sampler), 0.1, 0)
+    loader = TrainLoader(sampler, tr, cfg.train.batch_size, seed=0)
+    tables = device_tables(small_setup["tables"])
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg)
+    return model, cfg, loader, tables, tx, step
+
+
+def test_checkpoint_resume_continues_exactly(small_setup, tmp_path):
+    """Training 4 steps straight == training 2, checkpointing, resuming 2."""
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    rng = jax.random.key(7)
+    batches = list(loader.epoch(0))[:4]
+
+    s_full = init_state(model, tx, cfg.train.seed)
+    for b in batches:
+        s_full, _ = step(s_full, b, tables["mm"], tables, rng)
+
+    s_a = init_state(model, tx, cfg.train.seed)
+    for b in batches[:2]:
+        s_a, _ = step(s_a, b, tables["mm"], tables, rng)
+    CK.save_checkpoint(tmp_path, s_a, global_step=2, valid_loss=0.5)
+
+    template = init_state(model, tx, cfg.train.seed)
+    s_b, meta = CK.load_checkpoint(CK.latest_checkpoint(tmp_path), template)
+    assert meta["global_step"] == 2
+    for b in batches[2:]:
+        s_b, _ = step(s_b, b, tables["mm"], tables, rng)
+
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_atomic_checkpoint_ignores_tmp(tmp_path, small_setup):
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    s = init_state(model, tx, cfg.train.seed)
+    CK.save_checkpoint(tmp_path, s, global_step=5)
+    # simulate a crash mid-write: a stale .tmp dir must not be picked up
+    (tmp_path / "global_step9.valid_loss=0.0000.tmp").mkdir()
+    latest = CK.latest_checkpoint(tmp_path)
+    assert latest.name.startswith("global_step5")
+
+
+def test_supervisor_restarts_from_checkpoint(small_setup, tmp_path):
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    rng = jax.random.key(7)
+    batches = list(loader.epoch(0))[:4]
+    template = init_state(model, tx, cfg.train.seed)
+    calls = {"n": 0}
+
+    def train_fn(resume, attempt):
+        calls["n"] += 1
+        state = resume if resume is not None \
+            else init_state(model, tx, cfg.train.seed)
+        start = int(np.asarray(state.step))
+        for i, b in enumerate(batches[start:], start=start):
+            if attempt == 0 and i == 2:
+                raise FaultInjected("injected host failure at step 2")
+            state, _ = step(state, b, tables["mm"], tables, rng)
+            CK.save_checkpoint(tmp_path, state, global_step=i + 1)
+        return state
+
+    final = run_supervised(train_fn, tmp_path, template, max_restarts=2,
+                           verbose=False)
+    assert calls["n"] == 2                       # crashed once, restarted once
+    assert int(np.asarray(final.step)) == 4
+
+    # matches an uninterrupted run
+    s_full = init_state(model, tx, cfg.train.seed)
+    for b in batches:
+        s_full, _ = step(s_full, b, tables["mm"], tables, rng)
+    for a, b in zip(jax.tree.leaves(s_full.params),
+                    jax.tree.leaves(final.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    template = init_state(model, tx, cfg.train.seed)
+
+    def always_fail(resume, attempt):
+        raise FaultInjected("permafail")
+
+    with pytest.raises(FaultInjected):
+        run_supervised(always_fail, tmp_path, template, max_restarts=2,
+                       verbose=False)
