@@ -18,9 +18,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-# Round-1 self-baseline (examples/s/chip on 1x TPU v5e via this harness).
-# Updated when a faster round lands; None -> this run defines it.
-BENCH_BASELINE = None
+# Round-1 self-baseline (examples/s/chip on 1x TPU v5e via this harness):
+# the first full bench of the unoptimized build (pre scan-over-blocks,
+# per-head-tile Pallas kernel). vs_baseline measures speedup over it.
+BENCH_BASELINE = 272.71
 
 
 def main():

@@ -36,6 +36,7 @@ class ModelConfig:
     hstu_rel_pos_buckets: int = 128  # relative-position-bias buckets
     dtype: str = "bfloat16"          # compute dtype; params stay float32
     use_flash_attention: bool = True  # Pallas fused attention kernel when shapes allow
+    remat_blocks: bool = True        # jax.checkpoint each scanned block in training
     # Faithful reference init zeroes every 1-D param INCLUDING LayerNorm
     # scales (reference main.py:95-102); sane init uses scale 1. Parity
     # presets keep the quirk, north-star presets do not.

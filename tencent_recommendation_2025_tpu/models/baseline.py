@@ -56,7 +56,8 @@ class SeqRecModel:
         cold items); otherwise vectors are gathered from ``mm_tables`` by id.
         """
         mm_vecs = mm_override if mm_override is not None else \
-            E.gather_mm(mm_tables, ids, self.schema)
+            E.gather_mm(mm_tables, ids, self.schema,
+                        dtype=jnp.dtype(self.cfg.dtype))
         return E.item_tower(params, ids, item_sparse, item_array, mm_vecs,
                             self.fused, self.schema, self.cfg)
 

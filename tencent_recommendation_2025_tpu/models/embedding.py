@@ -115,25 +115,33 @@ def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
 # Lookups
 # ---------------------------------------------------------------------------
 
-def masked_take(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
+                dtype=None) -> jnp.ndarray:
     """``table[ids] * (ids != 0)`` — the padding_idx-0 contract.
 
     mode='clip': out-of-range ids clamp to the last row instead of jnp's
     default fill-with-NaN (torch would raise; clamping keeps the step alive
     and the dataset layer is responsible for id validity).
+
+    ``dtype``: cast the TABLE before the gather — the gathered activations
+    (the big buffers: [B, L, F, D]) come out in compute precision instead of
+    f32, halving their HBM footprint/traffic; casting the table itself is a
+    few MB.
     """
+    if dtype is not None:
+        table = table.astype(dtype)
     emb = jnp.take(table, ids, axis=0, mode="clip")
     return emb * (ids != 0)[..., None].astype(emb.dtype)
 
 
 def fused_feature_lookup(fused_table: jnp.ndarray, ids: jnp.ndarray,
-                         offsets: jnp.ndarray) -> jnp.ndarray:
+                         offsets: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """ids [..., F] with per-slot offsets [F] -> embeddings [..., F, D].
 
     Row = offset[f] + id when id > 0, the shared zero row otherwise.
     """
     global_ids = jnp.where(ids > 0, ids + offsets, 0)
-    return masked_take(fused_table, global_ids)
+    return masked_take(fused_table, global_ids, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -155,21 +163,22 @@ def item_tower(params: Mapping, ids: jnp.ndarray,
     """
     dtype = jnp.dtype(cfg.dtype)
     id_emb = item_emb_override if item_emb_override is not None \
-        else masked_take(params["item_emb"], ids)
+        else masked_take(params["item_emb"], ids, dtype=dtype)
     feats = [id_emb.astype(dtype)]
 
     if fused.n_item_sparse:
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.ITEM_SPARSE_IDS], jnp.int32)
-        sp = fused_feature_lookup(params["fused_feat"], item_sparse, off)
-        feats.append(sp.reshape(*sp.shape[:-2], -1).astype(dtype))
+        sp = fused_feature_lookup(params["fused_feat"], item_sparse, off,
+                                  dtype=dtype)
+        feats.append(sp.reshape(*sp.shape[:-2], -1))
     if fused.n_item_array:
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.ITEM_ARRAY_IDS], jnp.int32)
         ar = fused_feature_lookup(params["fused_feat"], item_array,
-                                  off[:, None])
+                                  off[:, None], dtype=dtype)
         ar = ar.sum(axis=-2)  # sum over CAP (reference .sum(2), model.py:277)
-        feats.append(ar.reshape(*ar.shape[:-2], -1).astype(dtype))
+        feats.append(ar.reshape(*ar.shape[:-2], -1))
     for fid in schema.mm_emb_ids:
         v = mm_vecs[fid].astype(dtype)
         proj = {"w": params["mm_proj"][fid]["w"].astype(dtype),
@@ -186,19 +195,20 @@ def user_tower(params: Mapping, ids: jnp.ndarray,
                user_sparse: jnp.ndarray, user_array: jnp.ndarray,
                fused: FusedVocab, cfg: ModelConfig) -> jnp.ndarray:
     dtype = jnp.dtype(cfg.dtype)
-    feats = [masked_take(params["user_emb"], ids).astype(dtype)]
+    feats = [masked_take(params["user_emb"], ids, dtype=dtype)]
     if fused.n_user_sparse:
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.USER_SPARSE_IDS], jnp.int32)
-        sp = fused_feature_lookup(params["fused_feat"], user_sparse, off)
-        feats.append(sp.reshape(*sp.shape[:-2], -1).astype(dtype))
+        sp = fused_feature_lookup(params["fused_feat"], user_sparse, off,
+                                  dtype=dtype)
+        feats.append(sp.reshape(*sp.shape[:-2], -1))
     if fused.n_user_array:
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.USER_ARRAY_IDS], jnp.int32)
         ar = fused_feature_lookup(params["fused_feat"], user_array,
-                                  off[:, None])
+                                  off[:, None], dtype=dtype)
         ar = ar.sum(axis=-2)
-        feats.append(ar.reshape(*ar.shape[:-2], -1).astype(dtype))
+        feats.append(ar.reshape(*ar.shape[:-2], -1))
     x = jnp.concatenate(feats, axis=-1)
     dnn = {"w": params["userdnn"]["w"].astype(dtype),
            "b": params["userdnn"]["b"].astype(dtype)}
@@ -206,14 +216,15 @@ def user_tower(params: Mapping, ids: jnp.ndarray,
 
 
 def gather_mm(mm_tables: Mapping[str, jnp.ndarray], ids: jnp.ndarray,
-              schema: FeatureSchema) -> Dict[str, jnp.ndarray]:
+              schema: FeatureSchema, dtype=None) -> Dict[str, jnp.ndarray]:
     """Device-side gather of frozen multimodal vectors by item id.
 
     Replaces the reference's per-step host packing of [B, L, mm_dim] arrays
     (``model.py:281-299``). id 0 (padding / user tokens / cold items) hits the
     zero row, matching ``fill_missing_feat``'s zero default.
     """
-    return {fid: jnp.take(mm_tables[fid], ids, axis=0, mode="clip")
+    return {fid: jnp.take(mm_tables[fid].astype(dtype) if dtype is not None
+                          else mm_tables[fid], ids, axis=0, mode="clip")
             for fid in schema.mm_emb_ids}
 
 
@@ -227,7 +238,8 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
     tt = batch["token_type"]
     item_ids = jnp.where(tt == 1, seq, 0)
     user_ids = jnp.where(tt == 2, seq, 0)
-    mm_vecs = gather_mm(mm_tables, item_ids, schema)
+    mm_vecs = gather_mm(mm_tables, item_ids, schema,
+                        dtype=jnp.dtype(cfg.dtype))
     it = item_tower(params, item_ids, batch["seq_item_sparse"],
                     batch["seq_item_array"], mm_vecs, fused, schema, cfg)
     ut = user_tower(params, user_ids, batch["seq_user_sparse"],

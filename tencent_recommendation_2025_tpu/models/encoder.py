@@ -158,8 +158,10 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
         valid = token_type != 0
 
         def hstu_core(q, k, v, rab):
-            return HK.hstu_attention(q, k, v, valid, rab, seq_len=L)
+            return HK.hstu_attention_packed(q, k, v, valid, rab, seq_len=L,
+                                            num_heads=cfg.num_heads)
 
+        hstu_core.packed = True  # consumes [B, L, D], not [B, H, L, hd]
         return None, hstu_core
     return None, None
 
@@ -218,6 +220,12 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
             x = layernorm(_cast_ln(bp["ffn_ln"], dtype), x + f)
         return x, None
 
+    if cfg.remat_blocks and train:
+        # rematerialize block internals in backward: the scan otherwise saves
+        # every block's uvqk/FFN activations ([NB, B, L, 4D] and friends) —
+        # the standard memory/FLOPs trade for deep stacks on HBM-bound chips
+        block_body = jax.checkpoint(
+            block_body, policy=jax.checkpoint_policies.nothing_saveable)
     x, _ = jax.lax.scan(block_body, x, (params["blocks"], block_keys))
     return layernorm(_cast_ln(params["last_ln"], dtype), x)
 

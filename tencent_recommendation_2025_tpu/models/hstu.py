@@ -76,6 +76,21 @@ def hstu_block(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray,
     def heads(t):
         return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
 
+    if core is not None and getattr(core, "packed", False):
+        # fused Pallas kernel consumes the head-packed [B, L, D] layout
+        # directly — no transposes on the hot path
+        av = core(q, k, v, params["rab"])
+        ln = {"scale": params["attn_ln"]["scale"].astype(dtype),
+              "bias": params["attn_ln"]["bias"].astype(dtype)}
+        gated = layernorm(ln, av) * u
+        if train and dropout_rate > 0.0 and dropout_key is not None:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate,
+                                        gated.shape)
+            gated = gated * keep / (1.0 - dropout_rate)
+        wo = {"w": params["out"]["w"].astype(dtype),
+              "b": params["out"]["b"].astype(dtype)}
+        return gated @ wo["w"] + wo["b"]
+
     qh, kh, vh = heads(q), heads(k), heads(v)
     if core is not None:
         av = core(qh, kh, vh, params["rab"])

@@ -2,24 +2,30 @@
 
 Computes, without materializing any [L, L] tensor in HBM:
 
-    S[b,h,q,k] = (Q·K^T) * hd^-0.5 + rab[h, clip(q-k, 0, buckets-1)]
+    S[b,h,q,k] = (Q_h·K_h^T) * hd^-0.5 + rab[h, clip(q-k, 0, buckets-1)]
     A = silu(S) * causal_mask * key_valid / seq_len
-    O = A @ V
+    O_h = A @ V_h
 
-Pointwise SiLU attention has no softmax state, so both forward and backward
-are plain blockwise accumulations — the backward needs no saved activations
-(S is recomputed per block from Q/K, flash-style).
+Pointwise SiLU attention has no softmax state, so forward and backward are
+plain blockwise accumulations — backward saves nothing and recomputes S
+(flash-style).
 
-Relative-position bias without gathers: distances clip at ``buckets-1``, so
-for block pairs further than ``n_near`` blocks below the diagonal the bias
-tile is *constant*; the kernel receives ``n_near + 1`` precomputed [BLK, BLK]
-tiles per head (near-diagonal Toeplitz tiles + one constant far tile), built
-differentiably in XLA — rab's gradient flows back through the tile precompute
-(take-transpose scatter-add + broadcast-sum) from the tile-gradient the
-backward kernel accumulates.
-
-Layout: grid (B, H, L/BLK) with one [BLK, hd] output tile per step; K/V rows
-for the current (b, h) live whole in VMEM (512KB at L=1024, hd≤128).
+Performance design (v4) — at recsys shapes (D=64, hd=16) these kernels are
+instruction/grid-overhead-bound, not FLOP-bound, so the layout minimizes op
+count and grid steps:
+- tensors travel **head-packed** [B, L, D] (D = H*hd), the natural layout out
+  of the uvqk projection — no transposes on the hot path;
+- grid is just (B,): one step owns a whole sequence; the q-block loop is a
+  *static python unroll*, so every score stripe has a static causal-trimmed
+  width ((qb+1)*BLK keys) — no masked-FLOP waste beyond the diagonal block
+  and no dynamic control flow;
+- relative-position bias without gathers: distances clip at ``buckets-1`` so
+  only ``n_near`` sub-diagonal [BLK, BLK] tiles are non-constant; tiles are
+  precomputed differentiably in XLA and selected with *static* slot indices
+  inside the unrolled loops. rab's gradient flows back through the precompute
+  from the tile-gradients the backward kernel accumulates;
+- backward is ONE kernel producing dq, dk, dv and the bias-tile gradient in
+  a single pass over the stripes (dk/dv accumulate into VMEM scratch).
 """
 
 from __future__ import annotations
@@ -62,203 +68,201 @@ def _bias_tiles(rab: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(tiles, axis=1)
 
 
+def _dsilu(s):
+    sig = jax.nn.sigmoid(s)
+    return sig * (1.0 + s * (1.0 - sig))
+
+
+def _stripe_bias(tiles_ref, h, qb, n_kb, n_tiles):
+    """Static [BLK, n_kb*BLK] bias stripe for query block qb. Indexes the
+    tiles REF with static indices (Mosaic lowers static ref indexing as
+    slices; indexing a loaded 4-D value would emit an unsupported gather)."""
+    parts = []
+    for kb in range(n_kb):
+        slot = min(qb - kb, n_tiles - 1)
+        parts.append(tiles_ref[h, slot])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _diag_causal(n_kb):
+    """[BLK, n_kb*BLK] bool: causal structure of a stripe whose last block is
+    the diagonal (earlier blocks fully visible)."""
+    iq = jax.lax.broadcasted_iota(jnp.int32, (BLK, n_kb * BLK), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, n_kb * BLK), 1)
+    return (iq + (n_kb - 1) * BLK) >= ik
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref, *,
-                seq_len: int, n_tiles: int, scale: float):
-    qb = pl.program_id(2)
+                seq_len: int, n_tiles: int, scale: float, num_heads: int,
+                n_blocks: int):
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32) * scale                  # [BLK, hd]
-    hd = q.shape[-1]
+    q = q_ref[0].astype(f32) * scale                    # [L, D]
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    D = q.shape[-1]
+    hd = D // num_heads
+    kv_ok = (valid_ref[0] != 0)                         # [1, L] (stay 2-D)
 
-    iq = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-
-    def body(kb, acc):
-        k = k_ref[0, 0, pl.ds(kb * BLK, BLK), :].astype(f32)
-        v = v_ref[0, 0, pl.ds(kb * BLK, BLK), :].astype(f32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-        slot = jnp.minimum(qb - kb, n_tiles - 1)
-        s = s + tiles_ref[0, slot]
-        causal = (qb * BLK + iq) >= (kb * BLK + ik)
-        kv_ok = valid_ref[0, 0, pl.ds(kb * BLK, BLK)] != 0
-        mask = jnp.logical_and(causal, kv_ok[None, :])
-        a = jax.nn.silu(s) * mask.astype(f32) / seq_len
-        return acc + jax.lax.dot_general(a, v, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=f32)
-
-    acc = jax.lax.fori_loop(0, qb + 1, body,
-                            jnp.zeros((BLK, hd), f32))
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    for qb in range(n_blocks):
+        ks = (qb + 1) * BLK                              # static stripe width
+        qsl = slice(qb * BLK, (qb + 1) * BLK)
+        m = jnp.logical_and(_diag_causal(qb + 1),
+                            kv_ok[:, :ks]).astype(f32) / seq_len
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(q[qsl, sl], k[:ks, sl],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)  # [BLK, ks]
+            s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
+            a = jax.nn.silu(s) * m
+            outs.append(jax.lax.dot_general(a, v[:ks, sl],
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=f32))
+        o_ref[0, qsl, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
-               dq_ref, *, seq_len: int, n_tiles: int, scale: float):
-    qb = pl.program_id(2)
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
+                dq_ref, dk_ref, dv_ref, dtiles_ref,
+                dk_acc, dv_acc, *,
+                seq_len: int, n_tiles: int, scale: float, n_blocks: int,
+                num_heads: int):
+    """One pass: dq written per q block; dk/dv accumulated in VMEM scratch;
+    bias-tile gradients accumulated across the (B,) grid."""
+    b = pl.program_id(0)
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32) * scale
-    do = do_ref[0, 0].astype(f32)
-    hd = q.shape[-1]
-    iq = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    q = q_ref[0].astype(f32) * scale
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    do = do_ref[0].astype(f32)
+    D = q.shape[-1]
+    hd = D // num_heads
+    kv_ok = (valid_ref[0] != 0)                         # [1, L] (stay 2-D)
 
-    def body(kb, acc):
-        k = k_ref[0, 0, pl.ds(kb * BLK, BLK), :].astype(f32)
-        v = v_ref[0, 0, pl.ds(kb * BLK, BLK), :].astype(f32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-        slot = jnp.minimum(qb - kb, n_tiles - 1)
-        s = s + tiles_ref[0, slot]
-        causal = (qb * BLK + iq) >= (kb * BLK + ik)
-        kv_ok = valid_ref[0, 0, pl.ds(kb * BLK, BLK)] != 0
-        m = jnp.logical_and(causal, kv_ok[None, :]).astype(f32) / seq_len
-        da = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)
-        sig = jax.nn.sigmoid(s)
-        ds = da * (sig * (1.0 + s * (1.0 - sig))) * m
-        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=f32)
-
-    acc = jax.lax.fori_loop(0, qb + 1, body, jnp.zeros((BLK, hd), f32))
-    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
-                dk_ref, dv_ref, dtiles_ref, *,
-                seq_len: int, n_tiles: int, scale: float, n_blocks: int):
-    # grid (H, B, NK) so the dtiles accumulator (constant per h) is revisited
-    # in consecutive steps
-    b = pl.program_id(1)
-    kb = pl.program_id(2)
-    f32 = jnp.float32
-    k = k_ref[0, 0].astype(f32)
-    v = v_ref[0, 0].astype(f32)
-    hd = k.shape[-1]
-    iq = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-    kv_ok = valid_ref[0, 0, pl.ds(kb * BLK, BLK)] != 0
-
-    @pl.when(jnp.logical_and(b == 0, kb == 0))
+    @pl.when(b == 0)
     def _():
         dtiles_ref[...] = jnp.zeros_like(dtiles_ref)
 
-    def body(qb, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, 0, pl.ds(qb * BLK, BLK), :].astype(f32) * scale
-        do = do_ref[0, 0, pl.ds(qb * BLK, BLK), :].astype(f32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-        slot = jnp.minimum(qb - kb, n_tiles - 1)
-        s = s + tiles_ref[0, slot]
-        causal = (qb * BLK + iq) >= (kb * BLK + ik)
-        m = jnp.logical_and(causal, kv_ok[None, :]).astype(f32) / seq_len
-        a = jax.nn.silu(s) * m
-        dv_acc = dv_acc + jax.lax.dot_general(
-            a, do, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        da = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)
-        sig = jax.nn.sigmoid(s)
-        ds = da * (sig * (1.0 + s * (1.0 - sig))) * m
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        dtiles_ref[0, slot] += ds
-        return dk_acc, dv_acc
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    z = jnp.zeros((BLK, hd), f32)
-    dk_acc, dv_acc = jax.lax.fori_loop(kb, n_blocks, body, (z, z))
-    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+    for qb in range(n_blocks):
+        ks = (qb + 1) * BLK
+        qsl = slice(qb * BLK, (qb + 1) * BLK)
+        m = jnp.logical_and(_diag_causal(qb + 1),
+                            kv_ok[:, :ks]).astype(f32) / seq_len
+        dqs = []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(q[qsl, sl], k[:ks, sl],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
+            a = jax.nn.silu(s) * m
+            # dv[:ks] += a^T @ do_blk
+            dv_acc[:ks, sl] += jax.lax.dot_general(
+                a, do[qsl, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            da = jax.lax.dot_general(do[qsl, sl], v[:ks, sl],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+            ds = da * _dsilu(s) * m                     # [BLK, ks]
+            dqs.append(jax.lax.dot_general(ds, k[:ks, sl],
+                                           (((1,), (0,)), ((), ())),
+                                           preferred_element_type=f32))
+            dk_acc[:ks, sl] += jax.lax.dot_general(
+                ds, q[qsl, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            for kb in range(qb + 1):                    # static slots
+                slot = min(qb - kb, n_tiles - 1)
+                dtiles_ref[h, slot] += ds[:, kb * BLK:(kb + 1) * BLK]
+        dq_ref[0, qsl, :] = (jnp.concatenate(dqs, axis=-1) * scale
+                             ).astype(dq_ref.dtype)
+
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, interpret):
-    B, H, L, hd = q.shape
+def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,
+                interpret):
+    B, L, D = q.shape
     nq = L // BLK
     nt = tiles.shape[1]
-    kern = functools.partial(_fwd_kernel, seq_len=seq_len, n_tiles=nt,
-                             scale=scale)
+    H = tiles.shape[0]
     return pl.pallas_call(
-        kern,
-        grid=(B, H, nq),
+        functools.partial(_fwd_kernel, seq_len=seq_len, n_tiles=nt,
+                          scale=scale, num_heads=num_heads, n_blocks=nq),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, BLK, hd), lambda b, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, L, hd), lambda b, h, qb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L, hd), lambda b, h, qb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, h, qb: (b, 0, 0)),
-            pl.BlockSpec((1, nt, BLK, BLK), lambda b, h, qb: (h, 0, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLK, hd),
-                               lambda b, h, qb: (b, h, qb, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
         interpret=interpret,
     )(q, k, v, valid3, tiles)
 
 
-def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, interpret):
-    B, H, L, hd = q.shape
+def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
+                interpret):
+    B, L, D = q.shape
     nq = L // BLK
     nt = tiles.shape[1]
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, seq_len=seq_len, n_tiles=nt,
-                          scale=scale),
-        grid=(B, H, nq),
+    H = tiles.shape[0]
+    dq, dk, dv, dtiles = pl.pallas_call(
+        functools.partial(_bwd_kernel, seq_len=seq_len, n_tiles=nt,
+                          scale=scale, n_blocks=nq, num_heads=num_heads),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, BLK, hd), lambda b, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, L, hd), lambda b, h, qb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L, hd), lambda b, h, qb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, BLK, hd), lambda b, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, h, qb: (b, 0, 0)),
-            pl.BlockSpec((1, nt, BLK, BLK), lambda b, h, qb: (h, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, BLK, hd),
-                               lambda b, h, qb: (b, h, qb, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
-        interpret=interpret,
-    )(q, k, v, do, valid3, tiles)
-
-    dk, dv, dtiles = pl.pallas_call(
-        functools.partial(_dkv_kernel, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, n_blocks=nq),
-        grid=(H, B, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, L, hd), lambda h, b, kb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, BLK, hd), lambda h, b, kb: (b, h, kb, 0)),
-            pl.BlockSpec((1, 1, BLK, hd), lambda h, b, kb: (b, h, kb, 0)),
-            pl.BlockSpec((1, 1, L, hd), lambda h, b, kb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda h, b, kb: (b, 0, 0)),
-            pl.BlockSpec((1, nt, BLK, BLK), lambda h, b, kb: (h, 0, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b: (0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLK, hd), lambda h, b, kb: (b, h, kb, 0)),
-            pl.BlockSpec((1, 1, BLK, hd), lambda h, b, kb: (b, h, kb, 0)),
-            pl.BlockSpec((1, nt, BLK, BLK), lambda h, b, kb: (h, 0, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b: (0, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
-            jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
             jax.ShapeDtypeStruct((H, nt, BLK, BLK), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((L, D), jnp.float32),
+                        pltpu.VMEM((L, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, valid3, tiles)
     return dq, dk, dv, dtiles
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _hstu_attn_core(q, k, v, valid3, rab, seq_len, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads, interpret):
     tiles = _bias_tiles(rab)
-    scale = q.shape[-1] ** -0.5
-    return _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, interpret)
+    hd = q.shape[-1] // num_heads
+    return _pallas_fwd(q, k, v, valid3, tiles, seq_len, hd ** -0.5,
+                       num_heads, interpret)
 
 
-def _core_fwd(q, k, v, valid3, rab, seq_len, interpret):
-    out = _hstu_attn_core(q, k, v, valid3, rab, seq_len, interpret)
+def _core_fwd(q, k, v, valid3, rab, seq_len, num_heads, interpret):
+    out = _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads,
+                          interpret)
     return out, (q, k, v, valid3, rab)
 
 
-def _core_bwd(seq_len, interpret, res, g):
+def _core_bwd(seq_len, num_heads, interpret, res, g):
     q, k, v, valid3, rab = res
     tiles = _bias_tiles(rab)
-    scale = q.shape[-1] ** -0.5
+    hd = q.shape[-1] // num_heads
     dq, dk, dv, dtiles = _pallas_bwd(q, k, v, g, valid3, tiles, seq_len,
-                                     scale, interpret)
+                                     hd ** -0.5, num_heads, interpret)
     # route tile grads back to rab through the differentiable precompute
     _, vjp = jax.vjp(_bias_tiles, rab)
     (drab,) = vjp(dtiles)
@@ -268,14 +272,29 @@ def _core_bwd(seq_len, interpret, res, g):
 _hstu_attn_core.defvjp(_core_fwd, _core_bwd)
 
 
+def hstu_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          valid: jnp.ndarray, rab: jnp.ndarray,
+                          seq_len: int, num_heads: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Head-packed fused HSTU attention: q/k/v [B, L, D] with D = H*hd
+    (L % 128 == 0); valid [B, L]; rab [H, buckets]. Returns [B, L, D]."""
+    valid3 = valid.astype(jnp.int32)[:, None, :]
+    return _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads,
+                           interpret)
+
+
 def hstu_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    valid: jnp.ndarray, rab: jnp.ndarray, seq_len: int,
                    interpret: bool = False) -> jnp.ndarray:
-    """Fused HSTU attention. q/k/v [B, H, L, hd] (L % 128 == 0);
-    valid [B, L] bool/int; rab [H, buckets]. Matches
-    models/hstu.py's dense path to fp tolerance."""
-    valid3 = valid.astype(jnp.int32)[:, None, :]
-    return _hstu_attn_core(q, k, v, valid3, rab, seq_len, interpret)
+    """[B, H, L, hd] interface (transposes into the packed layout)."""
+    B, H, L, hd = q.shape
+
+    def pack(t):
+        return t.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
+
+    out = hstu_attention_packed(pack(q), pack(k), pack(v), valid, rab,
+                                seq_len, H, interpret)
+    return out.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
 
 
 def hstu_attention_oracle(q, k, v, valid, rab, seq_len):

@@ -180,8 +180,10 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                       rec["steps_per_second"] * cfg.train.batch_size /
                       max(1, jax.device_count()), gs)
             if gs % cfg.train.grad_log_every == 0:
+                # O1 telemetry set (BaseLineO1/main.py:296-314)
                 tb.scalar("Gradient/max", float(m["grad_max"]), gs)
                 tb.scalar("Gradient/mean", float(m["grad_mean"]), gs)
+                tb.scalar("LearningRate/base", cfg.train.lr, gs)
         last_rec, last_m = pending[-1]
         if verbose:
             print(f"  epoch {epoch} step {last_rec['step'] + 1}/"
