@@ -57,6 +57,11 @@ def get_args(argv=None):
     p.add_argument("--mesh_seq", default=None, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--loader", default="auto",
+                   choices=["auto", "cached", "streaming"],
+                   help="cached: pack all users once, vectorized negatives "
+                        "(fast, needs RAM); streaming: threaded per-epoch "
+                        "sampling; auto: cached below 2M users")
     return p.parse_args(argv)
 
 
@@ -125,14 +130,27 @@ def main(argv=None):
                                      cfg.train.valid_fraction,
                                      cfg.train.seed)
     import jax
-    train_loader = TrainLoader(sampler, tr_idx, cfg.train.batch_size,
-                               seed=cfg.train.seed,
-                               num_workers=args.num_workers,
-                               host_id=jax.process_index(),
-                               num_hosts=jax.process_count())
-    valid_loader = TrainLoader(sampler, va_idx, cfg.train.batch_size,
-                               seed=cfg.train.seed, shuffle=False,
-                               num_workers=args.num_workers)
+    use_cached = args.loader == "cached" or \
+        (args.loader == "auto" and len(sampler) <= 2_000_000)
+    if use_cached:
+        from ..data.cached_dataset import CachedTrainLoader, PackedCache
+
+        cache = PackedCache(sampler, num_workers=args.num_workers)
+        train_loader = CachedTrainLoader(cache, tr_idx, cfg.train.batch_size,
+                                         seed=cfg.train.seed,
+                                         host_id=jax.process_index(),
+                                         num_hosts=jax.process_count())
+        valid_loader = CachedTrainLoader(cache, va_idx, cfg.train.batch_size,
+                                         seed=cfg.train.seed, shuffle=False)
+    else:
+        train_loader = TrainLoader(sampler, tr_idx, cfg.train.batch_size,
+                                   seed=cfg.train.seed,
+                                   num_workers=args.num_workers,
+                                   host_id=jax.process_index(),
+                                   num_hosts=jax.process_count())
+        valid_loader = TrainLoader(sampler, va_idx, cfg.train.batch_size,
+                                   seed=cfg.train.seed, shuffle=False,
+                                   num_workers=args.num_workers)
 
     state = None
     if args.state_dict_path:

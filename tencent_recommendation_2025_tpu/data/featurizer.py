@@ -136,18 +136,24 @@ class FusedVocab:
 
     feature_ids: Tuple[str, ...]            # item_sparse + user_sparse + item_array + user_array
     offsets: Tuple[int, ...]
+    sizes: Tuple[int, ...]                   # per-feature vocab sizes
     total_rows: int
 
     @classmethod
     def build(cls, schema: FeatureSchema) -> "FusedVocab":
         fids = (*S.ITEM_SPARSE_IDS, *S.USER_SPARSE_IDS,
                 *S.ITEM_ARRAY_IDS, *S.USER_ARRAY_IDS)
-        offsets = []
+        offsets, sizes = [], []
         acc = 0                              # value v maps to offset + v, v in [1, vocab]
         for fid in fids:
             offsets.append(acc)
+            sizes.append(schema.vocab[fid])
             acc += schema.vocab[fid] + 1     # +1 keeps per-feature row spacing
-        return cls(feature_ids=fids, offsets=tuple(offsets), total_rows=acc + 1)
+        return cls(feature_ids=fids, offsets=tuple(offsets),
+                   sizes=tuple(sizes), total_rows=acc + 1)
+
+    def group_sizes(self, fids) -> Tuple[int, ...]:
+        return tuple(self.sizes[self.slot(f)] for f in fids)
 
     def slot(self, fid: str) -> int:
         return self.feature_ids.index(fid)

@@ -22,6 +22,7 @@ config dtype):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Mapping, Optional, Tuple
 
@@ -115,6 +116,19 @@ def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
 # Lookups
 # ---------------------------------------------------------------------------
 
+# one-hot-matmul backward pays off while vocab * tokens * D stays MXU-cheap;
+# larger vocabularies fall back to XLA scatter-add
+ONEHOT_BWD_MAX_VOCAB = 16384
+
+
+def _maybe_sizes(fused: "FusedVocab", fids):
+    """(static offsets, static sizes) for the one-hot backward, or None."""
+    sizes = fused.group_sizes(fids)
+    if sizes and max(sizes) <= ONEHOT_BWD_MAX_VOCAB:
+        offs = tuple(fused.offsets[fused.slot(f)] for f in fids)
+        return offs, sizes
+    return None
+
 def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
                 dtype=None) -> jnp.ndarray:
     """``table[ids] * (ids != 0)`` — the padding_idx-0 contract.
@@ -135,13 +149,106 @@ def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
 
 
 def fused_feature_lookup(fused_table: jnp.ndarray, ids: jnp.ndarray,
-                         offsets: jnp.ndarray, dtype=None) -> jnp.ndarray:
+                         offsets: jnp.ndarray, dtype=None,
+                         vocab_sizes=None) -> jnp.ndarray:
     """ids [..., F] with per-slot offsets [F] -> embeddings [..., F, D].
 
     Row = offset[f] + id when id > 0, the shared zero row otherwise.
+
+    With ``vocab_sizes`` = (static offsets, static sizes) tuples, the
+    gradient uses the one-hot-matmul path below instead of XLA scatter-add.
     """
+    if vocab_sizes is not None:
+        off_t, sizes_t = vocab_sizes
+        return _fused_lookup_onehot_bwd(
+            fused_table, ids, offsets, tuple(off_t), tuple(sizes_t),
+            str(dtype) if dtype is not None else None)
     global_ids = jnp.where(ids > 0, ids + offsets, 0)
     return masked_take(fused_table, global_ids, dtype=dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_lookup_onehot_bwd(fused_table, ids, offsets, offsets_t,
+                             sizes_t, dtype_str):
+    """Forward = the fast gather; backward computes the table gradient as
+    per-feature one-hot matmuls written at *static* row offsets.
+
+    XLA's take-transpose is a scatter-add, which serializes badly on TPU
+    (millions of conflicting 64-wide updates); ``onehot^T @ cotangent`` is an
+    MXU matmul per feature and the concat offsets are static, so the whole
+    table gradient assembles without any dynamic scatter. Worth it only for
+    modest vocabularies (FLOPs scale with vocab * tokens * D).
+    """
+    dtype = jnp.dtype(dtype_str) if dtype_str else None
+    global_ids = jnp.where(ids > 0, ids + offsets, 0)
+    return masked_take(fused_table, global_ids, dtype=dtype)
+
+
+def _fl_fwd(fused_table, ids, offsets, offsets_t, sizes_t, dtype_str):
+    out = _fused_lookup_onehot_bwd(fused_table, ids, offsets, offsets_t,
+                                   sizes_t, dtype_str)
+    # the table rides along only for its (possibly shard-padded) shape/dtype;
+    # residuals must be JAX types, and keeping the reference costs nothing
+    return out, (fused_table, ids)
+
+
+def _fl_bwd(offsets_t, sizes_t, dtype_str, res, cot):
+    table, ids = res
+    table_shape, table_dtype = table.shape, table.dtype
+    F = len(offsets_t)
+    flat_ids = ids.reshape(-1, F)
+    flat_cot = cot.reshape(-1, F, cot.shape[-1]).astype(jnp.float32)
+
+    # several slots may address the SAME feature rows (array features repeat
+    # an offset once per capacity slot) — concatenate their ids/cotangents
+    # and do ONE one-hot matmul per distinct feature (keeps the graph small)
+    groups = {}
+    for f in range(F):
+        groups.setdefault((offsets_t[f], sizes_t[f]), []).append(f)
+    per_offset = {}
+    for (offset, vocab), fs in groups.items():
+        ids_cat = jnp.concatenate([flat_ids[:, f] for f in fs])
+        cot_cat = jnp.concatenate([flat_cot[:, f, :] for f in fs])
+        onehot = jax.nn.one_hot(ids_cat - 1, vocab,
+                                dtype=jnp.float32)          # id v -> col v-1
+        onehot = onehot * (ids_cat > 0)[:, None]
+        per_offset[(offset, vocab)] = onehot.T @ cot_cat    # [vocab, D]
+
+    # assemble rows in offset order; gaps (padding slots) get zeros
+    pieces = [jnp.zeros((1, cot.shape[-1]), jnp.float32)]   # shared row 0
+    row = 1
+    for (offset, vocab), dslice in sorted(per_offset.items()):
+        gap = offset + 1 - row
+        if gap > 0:
+            pieces.append(jnp.zeros((gap, cot.shape[-1]), jnp.float32))
+        pieces.append(dslice)
+        row = offset + 1 + vocab
+    if table_shape[0] > row:
+        pieces.append(jnp.zeros((table_shape[0] - row, cot.shape[-1]),
+                                jnp.float32))
+    dtable = jnp.concatenate(pieces, axis=0).astype(table_dtype)
+    return dtable, None, None
+
+
+_fused_lookup_onehot_bwd.defvjp(_fl_fwd, _fl_bwd)
+
+
+def _array_feature_lookup(table, ids, fused: "FusedVocab", fids, dtype):
+    """Array features [..., F, CAP] -> per-feature summed embeddings
+    [..., F, D]. The (F, CAP) axes flatten into F*CAP lookup slots (repeating
+    each feature's offset CAP times) so the one-hot backward applies — array
+    lookups carry the most ids of any tower input (F*CAP per token)."""
+    *lead, F, CAP = ids.shape
+    flat = ids.reshape(*lead, F * CAP)
+    offs = tuple(fused.offsets[fused.slot(f)] for f in fids)
+    sizes = fused.group_sizes(fids)
+    off_rep = jnp.asarray(np.repeat(np.asarray(offs), CAP), jnp.int32)
+    static = ((tuple(np.repeat(np.asarray(offs), CAP).tolist()),
+               tuple(np.repeat(np.asarray(sizes), CAP).tolist()))
+              if max(sizes) <= ONEHOT_BWD_MAX_VOCAB else None)
+    emb = fused_feature_lookup(table, flat, off_rep, dtype=dtype,
+                               vocab_sizes=static)
+    return emb.reshape(*lead, F, CAP, -1).sum(axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -170,14 +277,12 @@ def item_tower(params: Mapping, ids: jnp.ndarray,
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.ITEM_SPARSE_IDS], jnp.int32)
         sp = fused_feature_lookup(params["fused_feat"], item_sparse, off,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  vocab_sizes=_maybe_sizes(fused, S.ITEM_SPARSE_IDS))
         feats.append(sp.reshape(*sp.shape[:-2], -1))
     if fused.n_item_array:
-        off = jnp.asarray([fused.offsets[fused.slot(f)]
-                           for f in S.ITEM_ARRAY_IDS], jnp.int32)
-        ar = fused_feature_lookup(params["fused_feat"], item_array,
-                                  off[:, None], dtype=dtype)
-        ar = ar.sum(axis=-2)  # sum over CAP (reference .sum(2), model.py:277)
+        ar = _array_feature_lookup(params["fused_feat"], item_array, fused,
+                                   S.ITEM_ARRAY_IDS, dtype)
         feats.append(ar.reshape(*ar.shape[:-2], -1))
     for fid in schema.mm_emb_ids:
         v = mm_vecs[fid].astype(dtype)
@@ -200,14 +305,12 @@ def user_tower(params: Mapping, ids: jnp.ndarray,
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.USER_SPARSE_IDS], jnp.int32)
         sp = fused_feature_lookup(params["fused_feat"], user_sparse, off,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  vocab_sizes=_maybe_sizes(fused, S.USER_SPARSE_IDS))
         feats.append(sp.reshape(*sp.shape[:-2], -1))
     if fused.n_user_array:
-        off = jnp.asarray([fused.offsets[fused.slot(f)]
-                           for f in S.USER_ARRAY_IDS], jnp.int32)
-        ar = fused_feature_lookup(params["fused_feat"], user_array,
-                                  off[:, None], dtype=dtype)
-        ar = ar.sum(axis=-2)
+        ar = _array_feature_lookup(params["fused_feat"], user_array, fused,
+                                   S.USER_ARRAY_IDS, dtype)
         feats.append(ar.reshape(*ar.shape[:-2], -1))
     x = jnp.concatenate(feats, axis=-1)
     dnn = {"w": params["userdnn"]["w"].astype(dtype),

@@ -152,3 +152,55 @@ def test_full_forward_and_logits(small_setup):
     m = np.asarray(mask)
     np.testing.assert_allclose(np.asarray(pos_l)[~m], 0.0)
     assert not np.any(np.isnan(np.asarray(pos_l)))
+
+
+def test_onehot_bwd_matches_scatter_grad():
+    """fused_feature_lookup's one-hot-matmul backward == take's scatter-add."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    offsets = (0, 6, 14)
+    sizes = (5, 7, 4)
+    total = 20
+    table = jnp.asarray(rng.standard_normal((total, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 5, (4, 3, 3)), jnp.int32)  # [..., F=3]
+    off = jnp.asarray(offsets, jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((4, 3, 3, 8)), jnp.float32)
+
+    def f_onehot(t):
+        return (E.fused_feature_lookup(t, ids, off,
+                                       vocab_sizes=(offsets, sizes)) * cot).sum()
+
+    def f_plain(t):
+        return (E.fused_feature_lookup(t, ids, off) * cot).sum()
+
+    g1 = jax.grad(f_onehot)(table)
+    g2 = jax.grad(f_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_onehot_bwd_repeated_offsets_matches():
+    """Array-feature flattening repeats offsets; grouped grads must match."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    offsets = (0, 0, 0, 6, 6)      # feature A x3 capacity slots, B x2
+    sizes = (5, 5, 5, 4, 4)
+    table = jnp.asarray(rng.standard_normal((11, 4)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 5, (6, 5)), jnp.int32)
+    off = jnp.asarray(offsets, jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((6, 5, 4)), jnp.float32)
+
+    def f_onehot(t):
+        return (E.fused_feature_lookup(t, ids, off,
+                                       vocab_sizes=(offsets, sizes)) * cot).sum()
+
+    def f_plain(t):
+        return (E.fused_feature_lookup(t, ids, off) * cot).sum()
+
+    g1 = jax.grad(f_onehot)(table)
+    g2 = jax.grad(f_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-6)
