@@ -27,6 +27,19 @@ BENCH_BASELINE = 272.71
 def main():
     import jax
 
+    # Persistent compile cache: the flagship step takes minutes through the
+    # remote Mosaic compiler; cached re-runs start in seconds.
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    # counter-based RBG PRNG: dropout mask generation is pure VPU threefry
+    # otherwise and shows up at ~10% of step time
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     import __graft_entry__ as G
     from tencent_recommendation_2025_tpu.parallel import mesh as M
     from tencent_recommendation_2025_tpu.parallel import train as PT

@@ -147,6 +147,9 @@ def hstu_flagship() -> Config:
         model=ModelConfig(
             hidden_units=64, num_blocks=8, num_heads=4, maxlen=1024,
             block_type="hstu", ffn_type="swiglu", reference_init=False,
+            # remat ON wins on-chip: saving per-block FFN/uvqk residuals
+            # costs more HBM traffic than recomputing them (measured
+            # 723 -> 651 ex/s with remat off at B=128)
         ),
         train=TrainConfig(batch_size=128, lr=5e-3, l2_emb=0.0, weight_decay=0.01),
     )
