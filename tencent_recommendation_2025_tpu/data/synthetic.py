@@ -43,7 +43,11 @@ def generate(
     mm_emb_ids: Sequence[str] = ("81",),
     seed: int = 0,
     num_predict_users: Optional[int] = None,
+    cold_start: bool = False,
 ) -> Path:
+    """``cold_start=True`` injects inference-only pathologies into the
+    predict files: unseen items (reid > itemnum) and string feature values
+    (the reference's cold-start rules, ``dataset.py:309-327,358-364``)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -144,6 +148,14 @@ def generate(
         ground_truth[rev_u[uid]] = rev_i[held_out[1]]
         pred_records = [list(r) for r in records[:-1]]
         pred_records[0][0] = rev_u[uid]   # predict file uses the string user id
+        if cold_start and uid % 3 == 0 and len(pred_records) > 3:
+            # unseen item id (beyond itemnum) with string feature values
+            cold_feat = {fid: f"unseen_{uid}" for fid in
+                         list(pred_records[-1][3])[:2]}
+            cold_feat.update({k: v for k, v in pred_records[-1][3].items()
+                              if k not in cold_feat})
+            pred_records.append([0, num_items + 1000 + uid, None, cold_feat,
+                                 0, pred_records[-1][5] + 60])
         predict_seqs[uid] = pred_records
     write_jsonl("predict_seq", predict_seqs)
     with open(out_dir / "ground_truth.json", "w") as f:

@@ -90,13 +90,19 @@ class SeqRecModel:
         """
         log_feats = self.log2feats(params, batch, mm_tables, train=train,
                                    rng=rng, mesh=mesh)
-        pos_embs = self.item_embeddings(params, batch["pos"],
-                                        batch["pos_item_sparse"],
-                                        batch["pos_item_array"], mm_tables)
-        neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0, mode="clip")
-        neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0, mode="clip")
-        neg_embs = self.item_embeddings(params, batch["neg"], neg_sparse,
-                                        neg_array, mm_tables)
+        # pos and neg run through the item tower as ONE batch (fewer, larger
+        # gathers/matmuls; the reference runs two separate feat2emb passes,
+        # model.py:376-377)
+        neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0,
+                              mode="clip")
+        neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0,
+                             mode="clip")
+        ids = jnp.concatenate([batch["pos"], batch["neg"]], axis=0)
+        sparse = jnp.concatenate([batch["pos_item_sparse"], neg_sparse],
+                                 axis=0)
+        array = jnp.concatenate([batch["pos_item_array"], neg_array], axis=0)
+        both = self.item_embeddings(params, ids, sparse, array, mm_tables)
+        pos_embs, neg_embs = jnp.split(both, 2, axis=0)
         return log_feats, pos_embs, neg_embs
 
     def logits(self, params: Mapping, batch: Mapping,

@@ -86,6 +86,17 @@ def load_checkpoint(path, target: Any) -> Tuple[Any, dict]:
         meta = {}
     target_leaves, treedef = jax.tree.flatten(target)
     loaded = serialization.from_bytes(_to_plain(target_leaves), blob)
-    leaves = [np.asarray(l).astype(t.dtype).reshape(np.shape(t))
-              for l, t in zip(loaded, target_leaves)]
+    leaves = []
+    for i, (l, t) in enumerate(zip(loaded, target_leaves)):
+        l = np.asarray(l)
+        if l.shape != np.shape(t):
+            # the reference's known landmine: train/infer config skew makes
+            # checkpoint shapes silently mismatch (SURVEY.md §2.1 quirks,
+            # BaseLineO1 hidden 64 train vs 128 infer) — fail loudly instead
+            raise ValueError(
+                f"checkpoint leaf {i} shape {l.shape} != model shape "
+                f"{np.shape(t)} — the checkpoint was trained with a "
+                f"different architecture config (check hidden_units/"
+                f"num_blocks/num_heads/maxlen)")
+        leaves.append(l.astype(t.dtype))
     return jax.tree.unflatten(treedef, leaves), meta

@@ -109,3 +109,25 @@ def test_test_sampler(small_setup):
         assert batch["seq"].shape[0] == 8
         total += n_valid
     assert total == len(sampler)
+
+
+def test_cold_start_inference(tmp_path):
+    """Unseen items (reid > itemnum) zero their id but keep (cleaned)
+    features; string feature values become 0 (reference dataset.py:309-364)."""
+    from tencent_recommendation_2025_tpu.data import synthetic
+
+    d = synthetic.generate(tmp_path / "cold", num_users=12, num_items=50,
+                           seed=3, cold_start=True)
+    data = TencentGRData(d, mm_emb_ids=("81",), split="test")
+    sampler = TestSampler(data, FeatureSchema.from_indexer(data.indexer,
+                                                           ("81",)),
+                          maxlen=20)
+    saw_cold = False
+    for uid in range(len(sampler)):
+        s = sampler.sample(uid)
+        assert np.all(s.seq <= data.itemnum), "cold ids must be zeroed"
+        assert np.all(s.seq_item_sparse >= 0)
+        raw = data.seq.load_user(uid)
+        if any(r[1] and r[1] > data.itemnum for r in raw):
+            saw_cold = True
+    assert saw_cold
