@@ -221,11 +221,13 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
         return x, None
 
     if cfg.remat_blocks and train:
-        # rematerialize block internals in backward: the scan otherwise saves
-        # every block's uvqk/FFN activations ([NB, B, L, 4D] and friends) —
-        # the standard memory/FLOPs trade for deep stacks on HBM-bound chips
+        # rematerialize block internals in backward EXCEPT the fused
+        # attention output ("hstu_av", named in models/hstu.py): uvqk/FFN
+        # recompute is one cheap matmul each, but re-running the attention
+        # kernel costs real wall clock; saving av is 16MB/block
         block_body = jax.checkpoint(
-            block_body, policy=jax.checkpoint_policies.nothing_saveable)
+            block_body,
+            policy=jax.checkpoint_policies.save_only_these_names("hstu_av"))
     x, _ = jax.lax.scan(block_body, x, (params["blocks"], block_keys))
     return layernorm(_cast_ln(params["last_ln"], dtype), x)
 

@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 from .embedding import layernorm, layernorm_init, linear_init, xavier_normal
 
+try:  # public home moved across jax versions
+    from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+except Exception:  # pragma: no cover
+    from jax._src.ad_checkpoint import checkpoint_name as _checkpoint_name
+
 
 def init_hstu_params(key, d_model: int, num_heads: int,
                      rel_pos_buckets: int = 128):
@@ -78,8 +83,10 @@ def hstu_block(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray,
 
     if core is not None and getattr(core, "packed", False):
         # fused Pallas kernel consumes the head-packed [B, L, D] layout
-        # directly — no transposes on the hot path
-        av = core(q, k, v, params["rab"])
+        # directly — no transposes on the hot path. The output is
+        # checkpoint-named so the encoder's remat policy can SAVE it (16MB
+        # per block) instead of re-running the kernel in the backward pass.
+        av = _checkpoint_name(core(q, k, v, params["rab"]), "hstu_av")
         ln = {"scale": params["attn_ln"]["scale"].astype(dtype),
               "bias": params["attn_ln"]["bias"].astype(dtype)}
         gated = layernorm(ln, av) * u
