@@ -151,7 +151,11 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
                                           hd ** -0.5, seq_len=L)
 
         return mha_core, hstu_core
-    if cfg.use_flash_attention and L >= 256 and L % 128 == 0 \
+    # the v4 whole-sequence kernel holds full K/V rows + unrolled stripes in
+    # VMEM — fits v5e up to L=1024. Longer single-chip sequences fall back to
+    # the dense path (or shard L over the seq axis, which has no such cap);
+    # a blocked-grid kernel variant lifts this next.
+    if cfg.use_flash_attention and 256 <= L <= 1024 and L % 128 == 0 \
             and jax.default_backend() == "tpu":
         from ..ops import hstu_attention as HK
 

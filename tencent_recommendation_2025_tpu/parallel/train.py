@@ -43,8 +43,7 @@ def shard_batch(mesh: Mesh, batch) -> Any:
 def shard_tables(mesh: Mesh, tables) -> Any:
     """Static item/mm tables row-shard over (data, model) like the learned
     tables (XLA compiles their gathers into collectives)."""
-    n = partition and int(np.prod([mesh.shape[a]
-                                   for a in partition.TABLE_AXES]))
+    n = int(np.prod([mesh.shape[a] for a in partition.TABLE_AXES]))
 
     def put(leaf):
         if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] > 64:

@@ -157,6 +157,12 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
 
     from ..data.pipeline import prefetch_to_device
 
+    # O1's per-step validation scalars (BaseLineO1/main.py:191-203): a fixed
+    # held-out batch scored every grad_log_every steps
+    probe_batch = None
+    if valid_loader is not None and len(valid_loader) > 0:
+        probe_batch = jax.device_put(next(iter(valid_loader.epoch(0))))
+
     # Metrics stay on device and are fetched in batches every ``log_every``
     # steps — a per-step ``float(loss)`` would force a host<->device sync
     # per step and serialize the pipeline (the reference syncs every step,
@@ -204,6 +210,10 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             pending.append((rec, metrics))
             if (step + 1) % cfg.train.log_every == 0:
                 flush(epoch)
+            if probe_batch is not None and \
+                    timer.global_step % cfg.train.grad_log_every == 0:
+                vm = eval_step(state.params, probe_batch, mm_tables, tables)
+                tb.scalar("Valid/loss", float(vm["loss"]), timer.global_step)
         flush(epoch)
 
         # validation pass (reference main.py:233-262)
