@@ -151,11 +151,11 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
                                           hd ** -0.5, seq_len=L)
 
         return mha_core, hstu_core
-    # the v4 whole-sequence kernel holds full K/V rows + unrolled stripes in
-    # VMEM — fits v5e up to L=1024. Longer single-chip sequences fall back to
-    # the dense path (or shard L over the seq axis, which has no such cap);
-    # a blocked-grid kernel variant lifts this next.
-    if cfg.use_flash_attention and 256 <= L <= 1024 and L % 128 == 0 \
+    # fused-kernel coverage on v5e VMEM: the whole-sequence variant up to
+    # L=1024, the blocked long variant to L=2048; beyond that single-chip
+    # runs use the dense path and multi-chip ones shard L over the seq axis
+    # (ring attention), which has no such cap.
+    if cfg.use_flash_attention and 256 <= L <= 2048 and L % 128 == 0 \
             and jax.default_backend() == "tpu":
         from ..ops import hstu_attention as HK
 
