@@ -25,18 +25,24 @@ def main():
     V, D = 2_000_000, 64
     table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
     for n_ids in (128 * 1024 * 18,):      # B*L*(sparse slots) at flagship
-        # distinct id buffers per iteration and a data-dependent reduction so
-        # no dispatch can be cached or elided
-        id_bufs = [jnp.asarray(rng.integers(1, V, (n_ids,)), jnp.int32)
-                   for _ in range(4)]
-        f = jax.jit(lambda t, i: masked_take(t, i, dtype=jnp.bfloat16)
-                    .astype(jnp.float32).sum())
-        out = jax.block_until_ready(f(table, id_bufs[0]))
+        # iterations form a DEPENDENCY CHAIN (each draw perturbed by the
+        # previous sum) so the runtime cannot elide, cache, or reorder any
+        # gather; one device sync at the end
+        ids0 = jnp.asarray(rng.integers(1, V - 2, (n_ids,)), jnp.int32)
+
+        @jax.jit
+        def f(t, ids, carry):
+            s = masked_take(t, ids, dtype=jnp.bfloat16).astype(jnp.float32).sum()
+            bump = (s.astype(jnp.int32) & 1)
+            return jnp.clip(ids + bump, 1, V - 1), carry + s
+
+        ids, carry = f(table, ids0, jnp.float32(0))
+        jax.block_until_ready(carry)
         iters = 20
         t0 = time.perf_counter()
-        for it in range(iters):
-            out = f(table, id_bufs[it % 4])
-        jax.block_until_ready(out)
+        for _ in range(iters):
+            ids, carry = f(table, ids, carry)
+        jax.block_until_ready(carry)
         dt = (time.perf_counter() - t0) / iters
         gb = n_ids * D * 2 / 1e9          # bf16 payload out
         print(json.dumps({

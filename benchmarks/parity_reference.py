@@ -25,10 +25,11 @@ sys.path.insert(0, str(REPO))
 REFERENCE = Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
 
 
-def run_reference(data_dir, cfg, seed=42):
+def run_reference(data_dir, cfg, seed=42, variant="BaseLine"):
     """Train + evaluate the reference BaselineModel via its own classes."""
-    sys.path.insert(0, str(REFERENCE / "model" / "BaseLine"))
+    sys.path.insert(0, str(REFERENCE / "model" / variant))
     import importlib
+    import subprocess
 
     import numpy as np
     import torch
@@ -36,6 +37,16 @@ def run_reference(data_dir, cfg, seed=42):
     torch.manual_seed(seed)
     np.random.seed(seed)
 
+    if variant == "BaseLineO1":
+        # BaseLineO1/dataset.py pip-installs orjson at import time
+        # (dataset.py:12-22); no network here — make the call fail fast so it
+        # takes its stdlib-json fallback. (We run their code, never copy it.)
+        def _deny(cmd, *a, **k):
+            raise subprocess.CalledProcessError(1, cmd)
+
+        subprocess.check_call = _deny
+    for mod in ("dataset", "model"):
+        sys.modules.pop(mod, None)
     ref_dataset = importlib.import_module("dataset")
     ref_model = importlib.import_module("model")
 
@@ -45,6 +56,7 @@ def run_reference(data_dir, cfg, seed=42):
         num_epochs=cfg["epochs"], num_heads=cfg["heads"],
         dropout_rate=0.01, l2_emb=0.0, device="cpu", inference_only=False,
         state_dict_path=None, norm_first=False, mm_emb_id=["81"],
+        num_workers=0,
     )
     ds = ref_dataset.MyDataset(str(data_dir), args)
     loader = torch.utils.data.DataLoader(
@@ -129,7 +141,7 @@ def run_reference(data_dir, cfg, seed=42):
     return queries, emb, users, [c["creative_id"] for c in cand], last_loss
 
 
-def run_ours(data_dir, cfg, seed=42):
+def run_ours(data_dir, cfg, seed=42, variant="BaseLine"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -156,10 +168,15 @@ def run_ours(data_dir, cfg, seed=42):
     c = Config(
         model=ModelConfig(hidden_units=cfg["hidden"], num_blocks=cfg["blocks"],
                           num_heads=cfg["heads"], maxlen=cfg["maxlen"],
-                          dtype="float32"),
+                          dtype="float32",
+                          ffn_type="swiglu" if variant == "BaseLineO1"
+                          else "relu"),
         train=TrainConfig(batch_size=cfg["batch_size"], lr=cfg["lr"],
                           num_epochs=cfg["epochs"], seed=seed,
-                          valid_fraction=0.0),
+                          valid_fraction=0.0,
+                          l2_emb=0.0,
+                          weight_decay=0.01 if variant == "BaseLineO1"
+                          else 0.0),
     )
     data = TencentGRData(data_dir, mm_emb_ids=("81",))
     schema = FeatureSchema.from_indexer(data.indexer, ("81",))
@@ -216,6 +233,8 @@ def main():
     ap.add_argument("--users", type=int, default=96)
     ap.add_argument("--items", type=int, default=150)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--variant", default="both",
+                    choices=["BaseLine", "BaseLineO1", "both"])
     args = ap.parse_args()
 
     import tempfile
@@ -229,21 +248,27 @@ def main():
     cfg = {"batch_size": 16, "lr": 1e-2, "maxlen": 24, "hidden": 32,
            "blocks": 2, "heads": 2, "epochs": args.epochs}
 
-    q_r, c_r, u_r, ids_r, _ = run_reference(data_dir, cfg)
-    m_ref = evaluate(q_r, c_r, u_r, ids_r, data_dir)
-    print(json.dumps({"engine": "reference_torch_cpu", **m_ref}))
+    results = {}
+    for variant in (["BaseLine", "BaseLineO1"] if args.variant == "both"
+                    else [args.variant]):
+        q_r, c_r, u_r, ids_r, _ = run_reference(data_dir, cfg,
+                                                variant=variant)
+        m_ref = evaluate(q_r, c_r, u_r, ids_r, data_dir)
+        print(json.dumps({"engine": f"reference_{variant}_torch_cpu",
+                          **m_ref}))
 
-    q_o, c_o, u_o, ids_o, _ = run_ours(data_dir, cfg)
-    m_ours = evaluate(q_o, c_o, u_o, ids_o, data_dir)
-    print(json.dumps({"engine": "tpu_engine", **m_ours}))
+        q_o, c_o, u_o, ids_o, _ = run_ours(data_dir, cfg, variant=variant)
+        m_ours = evaluate(q_o, c_o, u_o, ids_o, data_dir)
+        print(json.dumps({"engine": f"tpu_engine_{variant}", **m_ours}))
 
-    delta = {"hr_delta": m_ours["hr"] - m_ref["hr"],
-             "ndcg_delta": m_ours["ndcg"] - m_ref["ndcg"]}
-    print(json.dumps({"parity": delta}))
+        delta = {"hr_delta": m_ours["hr"] - m_ref["hr"],
+                 "ndcg_delta": m_ours["ndcg"] - m_ref["ndcg"]}
+        print(json.dumps({"variant": variant, "parity": delta}))
+        results[variant] = {"reference": m_ref, "ours": m_ours,
+                            "delta": delta}
     if args.out:
-        Path(args.out).write_text(json.dumps(
-            {"reference": m_ref, "ours": m_ours, "delta": delta,
-             "config": cfg}))
+        Path(args.out).write_text(json.dumps({"results": results,
+                                              "config": cfg}))
 
 
 if __name__ == "__main__":

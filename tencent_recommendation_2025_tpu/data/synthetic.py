@@ -127,10 +127,13 @@ def generate(
         full_seqs[uid] = records
 
     def write_jsonl(path_prefix: str, seqs: dict):
-        offsets = {}
+        # offsets pickle is a LIST indexed by row — the layout the real
+        # TencentGR release uses (reference BaseLineO1/dataset.py:93
+        # ``enumerate(self.seq_offsets)`` only works on a list)
+        offsets = []
         with open(out_dir / f"{path_prefix}.jsonl", "wb") as f:
-            for row, (uid, records) in enumerate(seqs.items()):
-                offsets[row] = f.tell()
+            for uid, records in seqs.items():
+                offsets.append(f.tell())
                 f.write(json.dumps(records).encode() + b"\n")
         with open(out_dir / f"{path_prefix}_offsets.pkl", "wb") as f:
             pickle.dump(offsets, f)

@@ -116,8 +116,12 @@ def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
 # Lookups
 # ---------------------------------------------------------------------------
 
-# one-hot-matmul backward pays off while vocab * tokens * D stays MXU-cheap;
-# larger vocabularies fall back to XLA scatter-add
+# one-hot-matmul thresholds: tiny vocabularies run the WHOLE lookup as
+# one-hot matmuls (the gather runs at ~10 GB/s effective on v5e — DMA
+# row-granularity bound — while a [tokens, vocab] @ [vocab, D] matmul is
+# MXU-cheap); mid-size vocabs keep the gather forward but take the one-hot
+# backward; large ones fall back to XLA gather/scatter entirely.
+ONEHOT_FWD_MAX_VOCAB = 1024
 ONEHOT_BWD_MAX_VOCAB = 16384
 
 
@@ -128,6 +132,33 @@ def _maybe_sizes(fused: "FusedVocab", fids):
         offs = tuple(fused.offsets[fused.slot(f)] for f in fids)
         return offs, sizes
     return None
+
+
+def _onehot_full_lookup(table, ids, offsets_t, sizes_t, dtype):
+    """Whole lookup as per-feature one-hot matmuls (forward AND backward are
+    MXU matmuls; autodiff supplies the transpose). ids [..., F] -> [..., F, D].
+    Slots sharing an offset (array-capacity slots) batch into one matmul."""
+    D = table.shape[-1]
+    if dtype is not None:
+        table = table.astype(dtype)
+    F = len(offsets_t)
+    *lead, _ = ids.shape
+    flat = ids.reshape(-1, F)
+    groups = {}
+    for f in range(F):
+        groups.setdefault((offsets_t[f], sizes_t[f]), []).append(f)
+    cols = [None] * F
+    for (offset, vocab), fs in groups.items():
+        sl = table[offset + 1: offset + 1 + vocab]        # [vocab, D]
+        ids_cat = jnp.concatenate([flat[:, f] for f in fs])
+        onehot = jax.nn.one_hot(ids_cat - 1, vocab, dtype=sl.dtype)
+        onehot = onehot * (ids_cat > 0)[:, None].astype(sl.dtype)
+        out = onehot @ sl                                  # [n*|fs|, D]
+        parts = jnp.split(out, len(fs), axis=0)
+        for f, part in zip(fs, parts):
+            cols[f] = part
+    stacked = jnp.stack(cols, axis=1)                      # [n, F, D]
+    return stacked.reshape(*lead, F, D)
 
 def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
                 dtype=None) -> jnp.ndarray:
@@ -156,10 +187,14 @@ def fused_feature_lookup(fused_table: jnp.ndarray, ids: jnp.ndarray,
     Row = offset[f] + id when id > 0, the shared zero row otherwise.
 
     With ``vocab_sizes`` = (static offsets, static sizes) tuples, the
-    gradient uses the one-hot-matmul path below instead of XLA scatter-add.
+    gradient uses the one-hot-matmul path instead of XLA scatter-add, and
+    tiny vocabularies run the forward as one-hot matmuls too.
     """
     if vocab_sizes is not None:
         off_t, sizes_t = vocab_sizes
+        if max(sizes_t) <= ONEHOT_FWD_MAX_VOCAB:
+            return _onehot_full_lookup(fused_table, ids, tuple(off_t),
+                                       tuple(sizes_t), dtype)
         return _fused_lookup_onehot_bwd(
             fused_table, ids, offsets, tuple(off_t), tuple(sizes_t),
             str(dtype) if dtype is not None else None)
