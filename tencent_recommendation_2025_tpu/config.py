@@ -57,7 +57,10 @@ class TrainConfig:
     lr: float = 1e-3
     num_epochs: int = 5
     l2_emb: float = 1e-3             # BaseLine: explicit L2 penalty on item table
-    weight_decay: float = 0.0        # BaseLineO1: AdamW weight decay instead
+    # The reference BaseLine uses torch.optim.AdamW with its DEFAULT
+    # weight_decay=0.01 (main.py:131) on top of the explicit l2_emb penalty;
+    # BaseLineO1 sets weight_decay=l2_emb explicitly (BaseLineO1/main.py:173).
+    weight_decay: float = 0.01
     adam_b1: float = 0.9
     adam_b2: float = 0.98            # reference main.py:131
     seed: int = 42

@@ -91,6 +91,14 @@ class PackedCache:
             ok_feat = self.neg_ok[draw]
             maybe_seen = self.seen_hash[uids[:, None], draw % self.hash_size]
             accept = pending & ok_feat & ~maybe_seen
+            # hash hits can be false positives (bucket collision with a seen
+            # item) — verify the rare cases against the exact set so valid ids
+            # sharing a bucket with a seen item are not shadowed and the final
+            # distribution stays uniform over all valid ids
+            hit = pending & ok_feat & maybe_seen
+            for b, l in zip(*np.nonzero(hit)):
+                if int(draw[b, l]) not in self.seen_sets[uids[b]]:
+                    accept[b, l] = True
             neg = np.where(accept, draw, neg)
             pending &= ~accept
         # leftovers (hash false-positives / unlucky draws): exact per-position

@@ -43,8 +43,20 @@ BLK = 128
 
 
 def _n_near(buckets: int) -> int:
-    """Number of sub-diagonal block slots whose bias tile is non-constant."""
-    return min(8, (buckets - 2 + BLK - 1) // BLK + 1)
+    """Number of sub-diagonal block slots whose bias tile is non-constant.
+
+    Capped at 8 slots; configs needing more (buckets > 7*BLK + 2) would
+    silently substitute the far-constant tile for mid-range distances, so
+    they fail loudly here instead.
+    """
+    needed = (buckets - 2 + BLK - 1) // BLK + 1
+    if needed > 8:
+        raise ValueError(
+            f"hstu_rel_pos_buckets={buckets} needs {needed} non-constant "
+            f"bias tile slots but the kernel supports at most 8 "
+            f"(buckets <= {7 * BLK + 2}); use fewer buckets or the dense "
+            f"XLA path")
+    return needed
 
 
 def _bias_tiles(rab: jnp.ndarray) -> jnp.ndarray:

@@ -148,10 +148,12 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
                                      axis=1)[:, 0]                 # [n]
         ok = my_pos < cap
 
-        # scatter ids into [S, cap] send buckets (overflow dropped)
+        # scatter ids into [S, cap] send buckets; overflow ids go to the
+        # out-of-range column `cap` so mode="drop" actually discards them
+        # (cap-1 is in range and would clobber a legitimately bucketed id)
         buckets = jnp.zeros((n_data, cap), dtype=flat.dtype)
-        buckets = buckets.at[owner, jnp.where(ok, my_pos, cap - 1)].set(
-            jnp.where(ok, flat, 0), mode="drop")
+        buckets = buckets.at[owner, jnp.where(ok, my_pos, cap)].set(
+            flat, mode="drop")
         # exchange: row s of my buckets goes to shard s
         recv = jax.lax.all_to_all(buckets, "data", split_axis=0,
                                   concat_axis=0, tiled=True)  # [S*cap]? -> [S, cap]

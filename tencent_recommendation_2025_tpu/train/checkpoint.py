@@ -62,6 +62,10 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
         return None
     best, best_step = None, -1
     for d in ckpt_dir.iterdir():
+        if d.name.endswith(".tmp"):
+            # in-flight staging dir from a crashed save_checkpoint — a partial
+            # state.msgpack may exist inside; never pick it up
+            continue
         m = re.match(r"global_step(\d+)", d.name)
         if m and (d / CKPT_FILE).exists():
             step = int(m.group(1))

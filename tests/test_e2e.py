@@ -48,8 +48,13 @@ def test_train_retrieve_eval(small_setup, tmp_path):
     assert lines and all(
         k in lines[0] for k in ("global_step", "epoch", "step", "loss",
                                 "step_time", "steps_per_second"))
-    # loss must decrease over training
-    assert lines[-1]["loss"] < lines[0]["loss"]
+    # loss must decrease over training — compare per-epoch means (two single
+    # steps would be flake-prone)
+    epochs = sorted({l["epoch"] for l in lines})
+    assert len(epochs) >= 2
+    mean_loss = {e: np.mean([l["loss"] for l in lines if l["epoch"] == e])
+                 for e in epochs}
+    assert mean_loss[epochs[-1]] < mean_loss[epochs[0]]
 
     # checkpoint round-trip
     ck = latest_checkpoint(tmp_path / "ckpt")
