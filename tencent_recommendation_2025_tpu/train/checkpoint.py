@@ -1,102 +1,240 @@
-"""Checkpoint / resume (SURVEY.md §5).
+"""Checkpoint / resume (SURVEY.md §5): per-leaf layout, async writer, strict
+config + structure verification.
 
 The reference saves a bare ``state_dict`` per epoch into
 ``TRAIN_CKPT_PATH/global_step{N}.valid_loss={v}/model.pt`` and does NOT save
 optimizer state (``main.py:267-269``); inference loads the first ``*.pt``
 under ``MODEL_OUTPUT_PATH`` (``infer.py:14-20``). We keep the directory-name
-contract (so external tooling that parses ``global_step``/``valid_loss`` still
-works) but save the **full** train state — params, optimizer state, step —
-via flax.serialization msgpack, enabling true step-granular resume. Sharded
-arrays are gathered host-side before writing (fine at these table sizes;
-per-shard async arrives with the multi-host runtime work).
+contract but save the **full** train state:
+
+- one ``.npy`` file per pytree leaf (streamed, no single giant blob — a
+  100M-row table writes as its own file) plus ``manifest.json`` recording
+  every leaf's tree path/shape/dtype — restore verifies PATHS, not just
+  positions, so a structure change between save and load fails loudly even
+  when shapes coincide;
+- ``meta.json`` records step/loss AND the model config, verified on load
+  against the restoring model (the reference's known landmine: BaseLineO1
+  trains hidden=64 but infers hidden=128 — SURVEY.md §2.1 quirks);
+- ``save_checkpoint_async`` fetches leaves to host synchronously (device
+  buffers may be donated by the next train step) and writes files on a
+  background thread; atomic ``.tmp`` staging + rename means a crash mid-write
+  is never picked up by ``latest_checkpoint``;
+- the legacy round-1 single-``state.msgpack`` layout still loads.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import re
+import shutil
+import threading
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
-from flax import serialization
 
-CKPT_FILE = "state.msgpack"
+CKPT_FILE = "state.msgpack"          # legacy round-1 layout
+MANIFEST_FILE = "manifest.json"
 META_FILE = "meta.json"
 
 
-def _to_plain(state: Any):
-    """Flatten any registered pytree (e.g. TrainState, optax NamedTuples) to a
-    msgpack-serializable {leaves, treedef-independent} payload."""
-    leaves = jax.tree.leaves(state)
-    return [np.asarray(x) for x in leaves]
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _flatten_with_paths(state: Any):
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    return [(_path_str(p), leaf) for p, leaf in flat]
+
+
+def _config_dict(model_config) -> Optional[dict]:
+    if model_config is None:
+        return None
+    if dataclasses.is_dataclass(model_config):
+        return dataclasses.asdict(model_config)
+    return dict(model_config)
 
 
 def save_checkpoint(ckpt_dir, state: Any, global_step: int,
-                    valid_loss: float = 0.0, extra_meta: Optional[dict] = None
-                    ) -> Path:
-    """Atomic write: stage into ``<name>.tmp`` then rename, so a crash
-    mid-write never leaves a checkpoint that ``latest_checkpoint`` would
-    pick up (it requires the final dir name + state file)."""
+                    valid_loss: float = 0.0,
+                    extra_meta: Optional[dict] = None,
+                    model_config=None,
+                    _fault_after_files: Optional[int] = None) -> Path:
+    """Write a checkpoint atomically (stage into ``.tmp``, then rename).
+
+    ``model_config`` (a ModelConfig or dict) is recorded in meta and checked
+    by ``load_checkpoint``. ``_fault_after_files`` is a test-only hook that
+    simulates a crash after N leaf files."""
     out = Path(ckpt_dir) / f"global_step{global_step}.valid_loss={valid_loss:.4f}"
     tmp = out.with_name(out.name + ".tmp")
-    tmp.mkdir(parents=True, exist_ok=True)
-    (tmp / CKPT_FILE).write_bytes(serialization.to_bytes(_to_plain(state)))
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+
+    entries = []
+    for i, (path, leaf) in enumerate(_flatten_with_paths(state)):
+        if _fault_after_files is not None and i >= _fault_after_files:
+            raise RuntimeError("injected checkpoint fault (test hook)")
+        arr = np.asarray(leaf)
+        fname = f"leaf_{i:05d}.npy"
+        np.save(tmp / fname, arr)
+        entries.append({"path": path, "file": fname,
+                        "shape": list(arr.shape), "dtype": str(arr.dtype)})
+    (tmp / MANIFEST_FILE).write_text(json.dumps({"leaves": entries}))
     meta = {"global_step": global_step, "valid_loss": valid_loss}
+    cfgd = _config_dict(model_config)
+    if cfgd is not None:
+        meta["model_config"] = cfgd
     meta.update(extra_meta or {})
     (tmp / META_FILE).write_text(json.dumps(meta))
     if out.exists():
-        import shutil
-
         shutil.rmtree(out)
     tmp.rename(out)
     return out
 
 
+class AsyncSaveHandle:
+    """Handle for an in-flight background save; ``result()`` joins it."""
+
+    def __init__(self, thread: threading.Thread):
+        self._thread = thread
+        self.path: Optional[Path] = None
+        self.error: Optional[BaseException] = None
+
+    def result(self, timeout: Optional[float] = None) -> Path:
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError("checkpoint save still running")
+        if self.error is not None:
+            raise self.error
+        return self.path
+
+
+def save_checkpoint_async(ckpt_dir, state: Any, global_step: int,
+                          valid_loss: float = 0.0,
+                          extra_meta: Optional[dict] = None,
+                          model_config=None) -> AsyncSaveHandle:
+    """Fetch leaves to host NOW (the train loop will donate the device
+    buffers), write files on a background thread. The training step overlaps
+    with disk I/O instead of blocking on it."""
+    host_state = jax.tree.map(lambda l: np.asarray(l), state)
+
+    handle: AsyncSaveHandle
+
+    def run():
+        try:
+            handle.path = save_checkpoint(ckpt_dir, host_state, global_step,
+                                          valid_loss, extra_meta,
+                                          model_config)
+        except BaseException as e:  # surfaced via result()
+            handle.error = e
+
+    t = threading.Thread(target=run, daemon=True)
+    handle = AsyncSaveHandle(t)
+    t.start()
+    return handle
+
+
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
-    """Pick the newest checkpoint by global_step parsed from the dir name
-    (the reference parses ``epoch=``/picks first ``*.pt`` — we order by step)."""
+    """Pick the newest COMPLETE checkpoint by global_step parsed from the dir
+    name (the reference parses ``epoch=``/picks first ``*.pt``)."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
     best, best_step = None, -1
     for d in ckpt_dir.iterdir():
         if d.name.endswith(".tmp"):
-            # in-flight staging dir from a crashed save_checkpoint — a partial
-            # state.msgpack may exist inside; never pick it up
+            # in-flight staging dir from a crashed save — never pick it up
             continue
         m = re.match(r"global_step(\d+)", d.name)
-        if m and (d / CKPT_FILE).exists():
+        complete = (d / MANIFEST_FILE).exists() or (d / CKPT_FILE).exists()
+        if m and complete:
             step = int(m.group(1))
             if step > best_step:
                 best, best_step = d, step
     return best
 
 
-def load_checkpoint(path, target: Any) -> Tuple[Any, dict]:
+def _check_config(meta: dict, model_config) -> None:
+    want = _config_dict(model_config)
+    have = meta.get("model_config")
+    if want is None or have is None:
+        return
+    skew = {k: (have.get(k), want.get(k))
+            for k in set(have) | set(want)
+            if have.get(k) != want.get(k)}
+    if skew:
+        detail = ", ".join(f"{k}: ckpt={a!r} vs model={b!r}"
+                           for k, (a, b) in sorted(skew.items()))
+        raise ValueError(
+            f"checkpoint was trained with a different model config — {detail}"
+            " (the reference's train/infer skew landmine, caught loudly)")
+
+
+def load_checkpoint(path, target: Any, model_config=None) -> Tuple[Any, dict]:
     """Restore ``target``-shaped state from a checkpoint directory.
 
-    ``target`` must be a pytree with the same structure as the saved state
-    (e.g. a freshly initialized TrainState); leaves are restored by position.
+    New layout: leaves match by TREE PATH (manifest) with shape+dtype checks;
+    ``model_config`` (if given) is verified against the saved meta first.
+    Legacy layout (single msgpack blob): positional restore with shape guard.
     """
     path = Path(path)
-    if path.is_dir():
-        blob = (path / CKPT_FILE).read_bytes()
-        meta = json.loads((path / META_FILE).read_text()) \
-            if (path / META_FILE).exists() else {}
-    else:
-        blob = path.read_bytes()
-        meta = {}
-    target_leaves, treedef = jax.tree.flatten(target)
-    loaded = serialization.from_bytes(_to_plain(target_leaves), blob)
+    meta = {}
+    if path.is_dir() and (path / META_FILE).exists():
+        meta = json.loads((path / META_FILE).read_text())
+    _check_config(meta, model_config)
+
+    flat = _flatten_with_paths(target)
+    treedef = jax.tree.structure(target)
+
+    if path.is_dir() and (path / MANIFEST_FILE).exists():
+        manifest = json.loads((path / MANIFEST_FILE).read_text())
+        saved = manifest["leaves"]
+        saved_paths = [e["path"] for e in saved]
+        target_paths = [p for p, _ in flat]
+        if saved_paths != target_paths:
+            missing = [p for p in target_paths if p not in saved_paths]
+            extra = [p for p in saved_paths if p not in target_paths]
+            raise ValueError(
+                "checkpoint pytree structure mismatch — "
+                f"missing in ckpt: {missing[:5]}, unexpected: {extra[:5]} "
+                "(model/optimizer definition changed between save and load)")
+        leaves = []
+        for e, (p, t) in zip(saved, flat):
+            arr = np.load(path / e["file"])
+            if tuple(arr.shape) != tuple(np.shape(t)):
+                raise ValueError(
+                    f"checkpoint leaf {p!r} shape {arr.shape} != model "
+                    f"shape {np.shape(t)} — architecture config skew "
+                    "(check hidden_units/num_blocks/num_heads/maxlen)")
+            leaves.append(arr.astype(np.dtype(
+                t.dtype if hasattr(t, "dtype") else arr.dtype)))
+        return jax.tree.unflatten(treedef, leaves), meta
+
+    # ---- legacy single-blob layout ----
+    from flax import serialization
+
+    blob = (path / CKPT_FILE).read_bytes() if path.is_dir() \
+        else path.read_bytes()
+    target_leaves = [t for _, t in flat]
+    loaded = serialization.from_bytes(
+        [np.asarray(x) for x in target_leaves], blob)
     leaves = []
     for i, (l, t) in enumerate(zip(loaded, target_leaves)):
         l = np.asarray(l)
         if l.shape != np.shape(t):
-            # the reference's known landmine: train/infer config skew makes
-            # checkpoint shapes silently mismatch (SURVEY.md §2.1 quirks,
-            # BaseLineO1 hidden 64 train vs 128 infer) — fail loudly instead
             raise ValueError(
                 f"checkpoint leaf {i} shape {l.shape} != model shape "
                 f"{np.shape(t)} — the checkpoint was trained with a "

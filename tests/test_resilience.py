@@ -99,6 +99,60 @@ def test_supervisor_restarts_from_checkpoint(small_setup, tmp_path):
                                    atol=1e-7)
 
 
+def test_async_save_and_kill_during_save(small_setup, tmp_path):
+    """Async save produces a loadable checkpoint; a crash mid-write (fault
+    hook) leaves only a .tmp staging dir that latest_checkpoint ignores, so
+    recovery proceeds from the previous complete checkpoint."""
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    s = init_state(model, tx, cfg.train.seed)
+
+    h = CK.save_checkpoint_async(tmp_path, s, global_step=3, valid_loss=0.9,
+                                 model_config=model.cfg)
+    path = h.result()
+    assert path.name.startswith("global_step3")
+    restored, meta = CK.load_checkpoint(path, init_state(model, tx,
+                                                         cfg.train.seed),
+                                        model_config=model.cfg)
+    assert meta["model_config"]["hidden_units"] == model.cfg.hidden_units
+    np.testing.assert_array_equal(np.asarray(restored.params["item_emb"]),
+                                  np.asarray(s.params["item_emb"]))
+
+    # crash after 2 leaf files: no step-7 checkpoint may appear
+    with pytest.raises(RuntimeError, match="injected"):
+        CK.save_checkpoint(tmp_path, s, global_step=7, _fault_after_files=2)
+    latest = CK.latest_checkpoint(tmp_path)
+    assert latest is not None and latest.name.startswith("global_step3")
+
+
+def test_load_rejects_config_skew(small_setup, tmp_path):
+    """The reference's train/infer config-skew landmine (BaseLineO1 hidden 64
+    train vs 128 infer) fails loudly naming the skewed field."""
+    import dataclasses
+
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    s = init_state(model, tx, cfg.train.seed)
+    CK.save_checkpoint(tmp_path, s, global_step=1, model_config=model.cfg)
+    skewed = dataclasses.replace(model.cfg, hidden_units=128)
+    with pytest.raises(ValueError, match="hidden_units"):
+        CK.load_checkpoint(CK.latest_checkpoint(tmp_path),
+                           init_state(model, tx, cfg.train.seed),
+                           model_config=skewed)
+
+
+def test_load_rejects_structure_change(small_setup, tmp_path):
+    """A pytree structure change (extra param) is caught by the tree-path
+    manifest even when no shape differs."""
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    s = init_state(model, tx, cfg.train.seed)
+    CK.save_checkpoint(tmp_path, s, global_step=1)
+    from tencent_recommendation_2025_tpu.train.trainer import TrainState
+
+    bigger = TrainState(params={**s.params, "new_head": s.params["item_emb"]},
+                        opt_state=s.opt_state, step=s.step)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        CK.load_checkpoint(CK.latest_checkpoint(tmp_path), bigger)
+
+
 def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
     model, cfg, loader, tables, tx, step = _setup(small_setup)
     template = init_state(model, tx, cfg.train.seed)
