@@ -4,10 +4,10 @@ The reference shells out to a C++ FAISS HNSW binary for approximate top-10
 (``model/BaseLine/infer.py:213-225``). On TPU, exact maximum-inner-product
 search over a ≤100M x 64 corpus is a dense matmul — the MXU's home turf — so
 the *primary* serving path is exact: blocked ``[Q, D] x [D, N]`` scoring with
-a running top-k merge (no [Q, N] materialization), and a sharded variant that
-scores per-device corpus shards and merges with one all-gather of k winners
-per shard (see parallel/). The C++ HNSW tool (retrieval/ann) remains as the
-reference-contract parity path.
+a running top-k merge (no [Q, N] materialization), and
+:func:`sharded_topk_mips` — per-device corpus shards, local blocked top-k,
+one k-winner all-gather + merge. The C++ HNSW tool (retrieval/ann) remains
+as the reference-contract parity path.
 """
 
 from __future__ import annotations
@@ -20,15 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n"))
-def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 10,
-              block_n: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k inner-product search.
-
-    queries [Q, D], corpus [N, D] -> (scores [Q, k], indices [Q, k]).
-    The corpus axis is processed in blocks with a running top-k so peak
-    memory is O(Q * (k + block_n)) instead of O(Q * N).
-    """
+def _topk_blocked(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
+                  block_n: int, base, n_valid
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked scoring + running top-k over one (possibly padded) corpus
+    slice whose row 0 has GLOBAL index ``base``; global rows >= ``n_valid``
+    are padding and score -inf. Returns global indices."""
     Q, D = queries.shape
     N = corpus.shape[0]
     block_n = min(block_n, max(k, N))
@@ -47,9 +44,9 @@ def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 10,
         block, b = blk
         s = jnp.einsum("qd,nd->qn", queries, block,
                        preferred_element_type=jnp.float32)
-        base = b * block_n
-        idx = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1) + base
-        valid = idx < N
+        idx = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1) \
+            + b * block_n + base
+        valid = idx < n_valid
         s = jnp.where(valid, s, neg_inf)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, idx], axis=1)
@@ -63,18 +60,115 @@ def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 10,
     return scores, indices
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 10,
+              block_n: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k inner-product search.
+
+    queries [Q, D], corpus [N, D] -> (scores [Q, k], indices [Q, k]).
+    The corpus axis is processed in blocks with a running top-k so peak
+    memory is O(Q * (k + block_n)) instead of O(Q * N).
+    """
+    return _topk_blocked(queries, corpus, k, block_n, base=0,
+                         n_valid=corpus.shape[0])
+
+
+def shard_corpus(mesh, corpus: jnp.ndarray) -> jnp.ndarray:
+    """Row-pad + place the corpus sharded over every mesh axis (flattened)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    rows = -(-corpus.shape[0] // n_shards)
+    if rows * n_shards != corpus.shape[0]:
+        corpus = jnp.pad(corpus,
+                         ((0, rows * n_shards - corpus.shape[0]), (0, 0)))
+    return jax.device_put(corpus, NamedSharding(mesh, P(axes, None)))
+
+
+def sharded_topk_mips(mesh, queries: jnp.ndarray, corpus: jnp.ndarray,
+                      k: int = 10, block_n: int = 65536,
+                      n_valid: Optional[int] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed exact top-k: the corpus row-shards over EVERY mesh axis
+    (flattened), each device runs the blocked local top-k over its shard,
+    and one k-winner all-gather + merge produces the global result — the
+    serving path for a 100M-item corpus that no single chip can hold
+    (reference counterpart: the external FAISS binary,
+    ``model/BaseLine/infer.py:213-225``).
+
+    queries [Q, D] replicated (serving batches are small); corpus [N, D].
+    Returns replicated (scores [Q, k], GLOBAL indices [Q, k]) — identical to
+    ``topk_mips`` up to ties.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    N = corpus.shape[0] if n_valid is None else n_valid
+    rows = -(-corpus.shape[0] // n_shards)
+    if rows * n_shards != corpus.shape[0]:
+        corpus = jnp.pad(corpus,
+                         ((0, rows * n_shards - corpus.shape[0]), (0, 0)))
+    corpus = jax.device_put(corpus, NamedSharding(mesh, P(axes, None)))
+    return _sharded_topk_fn(mesh, k, block_n, rows, N)(queries, corpus)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int):
+    """Cached jitted shard_map body (one compile per mesh/shape combo, not
+    per call — retrieve_topk calls this per query batch)."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(q, c):
+        shard = jnp.int32(0)
+        for a in axes:
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        s, gi = _topk_blocked(q, c, k, block_n, base=shard * rows,
+                              n_valid=N)
+        # one all-gather of the k winners per shard, merged everywhere
+        all_s = jax.lax.all_gather(s, axes)        # [n_shards, Q, k]
+        all_i = jax.lax.all_gather(gi, axes)
+        Q = q.shape[0]
+        cat_s = all_s.transpose(1, 0, 2).reshape(Q, n_shards * k)
+        cat_i = all_i.transpose(1, 0, 2).reshape(Q, n_shards * k)
+        best_s, pos = jax.lax.top_k(cat_s, k)
+        best_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return best_s, best_i
+
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P(axes, None)),
+                                 out_specs=(P(), P()), check_vma=False))
+
+
 def retrieve_topk(query_embs: np.ndarray, corpus_embs: np.ndarray,
                   corpus_ids: np.ndarray, k: int = 10,
-                  query_batch: int = 4096) -> np.ndarray:
+                  query_batch: int = 4096, mesh=None) -> np.ndarray:
     """Host wrapper: batch queries, map indices back to corpus ids.
 
-    Returns [Q, k] of ``corpus_ids`` dtype (e.g. uint64 retrieval ids).
+    With ``mesh`` (or automatically when >1 device is visible) the corpus
+    shards across devices and each batch retrieves via
+    :func:`sharded_topk_mips`. Returns [Q, k] of ``corpus_ids`` dtype
+    (e.g. uint64 retrieval ids).
     """
+    if mesh is None and jax.device_count() > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
     corpus = jnp.asarray(corpus_embs, jnp.float32)
+    if mesh is not None:
+        corpus = shard_corpus(mesh, corpus)  # place once, reuse per batch
     out = []
     for s in range(0, len(query_embs), query_batch):
         q = jnp.asarray(query_embs[s:s + query_batch], jnp.float32)
-        _, idx = topk_mips(q, corpus, k=k)
+        if mesh is not None:
+            _, idx = sharded_topk_mips(mesh, q, corpus, k=k,
+                                       n_valid=len(corpus_embs))
+        else:
+            _, idx = topk_mips(q, corpus, k=k)
         out.append(np.asarray(idx))
     idx = np.concatenate(out, axis=0)
     return np.asarray(corpus_ids)[idx]

@@ -1,0 +1,69 @@
+"""Distributed exact top-k MIPS (VERDICT r1 item 6): per-device corpus
+shards + local blocked top-k + one k-winner all-gather must equal the
+single-device result. Serving counterpart of the reference's external FAISS
+binary (``model/BaseLine/infer.py:213-225``)."""
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_sharded_matches_single_device():
+    from jax.sharding import Mesh
+
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        sharded_topk_mips, topk_mips)
+
+    rng = np.random.default_rng(0)
+    Q, N, D, k = 32, 1003, 16, 10  # N not divisible by 8: padding path
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    c = rng.standard_normal((N, D)).astype(np.float32)
+
+    s1, i1 = topk_mips(jax.numpy.asarray(q), jax.numpy.asarray(c), k=k)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
+    s2, i2 = sharded_topk_mips(mesh, jax.numpy.asarray(q),
+                               jax.numpy.asarray(c), k=k)
+
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5,
+                               atol=1e-5)
+    # continuous random scores: ties have measure zero -> indices equal
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    assert np.asarray(i2).max() < N
+
+
+def test_sharded_small_corpus_k_exceeds_shard():
+    """Per-shard rows < k: winners must still merge to the true global
+    top-k (each shard returns k padded candidates)."""
+    from jax.sharding import Mesh
+
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        sharded_topk_mips, topk_mips)
+
+    rng = np.random.default_rng(1)
+    Q, N, D, k = 4, 37, 8, 10  # 37 rows over 8 shards -> 5 rows/shard < k
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    c = rng.standard_normal((N, D)).astype(np.float32)
+    s1, i1 = topk_mips(jax.numpy.asarray(q), jax.numpy.asarray(c), k=k)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
+    s2, i2 = sharded_topk_mips(mesh, jax.numpy.asarray(q),
+                               jax.numpy.asarray(c), k=k)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_retrieve_topk_auto_mesh():
+    """The host wrapper auto-shards when >1 device is visible and maps back
+    to corpus ids correctly."""
+    from tencent_recommendation_2025_tpu.retrieval.mips import retrieve_topk
+
+    rng = np.random.default_rng(2)
+    N, D, k = 500, 8, 5
+    q = rng.standard_normal((17, D)).astype(np.float32)
+    c = rng.standard_normal((N, D)).astype(np.float32)
+    ids = rng.integers(10**6, 10**9, N).astype(np.uint64)
+    got = retrieve_topk(q, c, ids, k=k)
+    # oracle
+    scores = q @ c.T
+    want = ids[np.argsort(-scores, axis=1)[:, :k]]
+    np.testing.assert_array_equal(got, want)
