@@ -1,0 +1,102 @@
+"""North-star-scale sparse-table training bench (VERDICT r1 item 2).
+
+Trains ONE flagship train step with a multi-million-row ``item_emb`` on a
+single chip — possible only because the sparse-table path's per-step cost is
+O(touched rows): the dense counterpart (reference ``nn.Embedding`` + AdamW,
+``model/BaseLine/model.py:115-117``) would move the entire [V, D] table plus
+two moment tables through the optimizer every step (~75 GB at 100M rows).
+
+Prints one JSON line per config: steps/s, touched rows, and the equivalent
+dense optimizer traffic that the sparse update avoids.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as G
+    from tencent_recommendation_2025_tpu.config import TrainConfig
+    import dataclasses
+
+    cfg, schema, fused, model = G._make_synthetic_setup(
+        maxlen=maxlen, hidden=64, num_blocks=8, num_heads=4,
+        block_type="hstu", itemnum=itemnum)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=batch, l2_emb=0.0, weight_decay=0.0,
+        sparse_tables=("item_emb",), table_optimizer=table_optimizer))
+    rng = np.random.default_rng(0)
+    L = maxlen + 1
+    b = G._make_batch(rng, batch, L, schema, model.itemnum, model.usernum)
+    tables = G._make_tables(rng, min(itemnum, 200_000), schema)
+    # feature tables stay small (ids clip); the LEARNED table is the giant one
+    b_dev = jax.device_put(b)
+
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        init_state, make_optimizer, make_train_step)
+
+    tx = make_optimizer(cfg)
+    state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.key(0)
+
+    for _ in range(3):  # warmup: layout-change recompile happens on call 2
+        state, metrics = step(state, b_dev, tables["mm"], tables, key)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, b_dev, tables["mm"], tables, key)
+    loss = float(metrics["loss"])  # value fetch = real sync
+    dt = (time.perf_counter() - t0) / iters
+
+    touched = 3 * batch * L
+    d = 64
+    moments = 2 if table_optimizer == "lazy_adam" else 0.016
+    dense_gb = itemnum * d * 4 * (2 + 2 * moments) / 1e9  # r/w table+moments
+    sparse_gb = touched * d * 4 * (2 + 2 * moments) / 1e9
+    return {
+        "metric": f"sparse_table_step_{itemnum // 1_000_000}M_{table_optimizer}",
+        "value": round(batch / dt, 2),
+        "unit": "examples/s/chip",
+        "step_ms": round(dt * 1000, 1),
+        "loss": round(loss, 4),
+        "touched_rows_cap": touched,
+        "optimizer_traffic_gb_sparse": round(sparse_gb, 3),
+        "optimizer_traffic_gb_dense_equiv": round(dense_gb, 1),
+    }
+
+
+def main():
+    import jax
+
+    cache = Path(__file__).resolve().parents[1] / ".jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    configs = [(10_000_000, "lazy_adam")]
+    if "--big" in sys.argv:
+        configs += [(50_000_000, "rowwise_adagrad"),
+                    (100_000_000, "rowwise_adagrad")]
+    for itemnum, opt in configs:
+        try:
+            print(json.dumps(bench_config(itemnum, opt)), flush=True)
+        except Exception as e:  # OOM on small chips: report, keep going
+            print(json.dumps({"metric": f"sparse_table_step_{itemnum}",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

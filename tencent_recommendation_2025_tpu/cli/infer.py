@@ -92,8 +92,8 @@ def infer(argv=None):
     assert env.model_output_path, "MODEL_OUTPUT_PATH must be set"
     ckpt = CK.latest_checkpoint(env.model_output_path)
     assert ckpt is not None, f"no checkpoint under {env.model_output_path}"
-    template = init_state(model, make_optimizer(cfg), cfg.train.seed)
-    state, meta = CK.load_checkpoint(ckpt, template)
+    template = init_state(model, make_optimizer(cfg), cfg.train.seed, cfg=cfg)
+    state, meta = CK.load_checkpoint(ckpt, template, model_config=cfg.model)
     params = state.params
     print(f"loaded {ckpt} (meta {meta})")
 

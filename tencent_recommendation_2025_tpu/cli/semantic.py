@@ -96,7 +96,8 @@ def main(argv=None):
     ckpt = CK.latest_checkpoint(env.model_output_path)
     assert ckpt, f"no checkpoint under {env.model_output_path}"
     state, meta = CK.load_checkpoint(
-        ckpt, init_state(model, make_optimizer(cfg), cfg.train.seed))
+        ckpt, init_state(model, make_optimizer(cfg), cfg.train.seed, cfg=cfg),
+        model_config=cfg.model)
     params = state.params
     print(f"loaded {ckpt.name}")
 

@@ -155,18 +155,37 @@ def main(argv=None):
     state = None
     if args.state_dict_path:
         tx = make_optimizer(cfg)
-        template = init_state(model, tx, cfg.train.seed)
-        state, meta = CK.load_checkpoint(args.state_dict_path, template)
+        template = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        state, meta = CK.load_checkpoint(args.state_dict_path, template,
+                                         model_config=cfg.model)
         print(f"resumed from {args.state_dict_path} (meta {meta})")
 
     if args.inference_only:
         print("inference_only: skipping training")
-        return
+        return None
 
-    train_loop(model, cfg, train_loader, valid_loader, tables,
-               log_dir=env.train_log_path, tb_dir=env.train_tf_events_path,
-               ckpt_dir=env.train_ckpt_path, state=state)
+    # Multi-device: build the (data, model, seq) mesh from the config and run
+    # the sharded path (the reference is single-device only, main.py:32).
+    mesh = None
+    want = cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
+    if want > 1:
+        if jax.device_count() >= cfg.mesh.model * cfg.mesh.seq and \
+                jax.device_count() > 1:
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(cfg.mesh)
+            print(f"mesh: {dict(mesh.shape)} over "
+                  f"{jax.device_count()} devices")
+        else:
+            print(f"WARNING: preset wants {want} devices but only "
+                  f"{jax.device_count()} present — training single-device")
+
+    state = train_loop(model, cfg, train_loader, valid_loader, tables,
+                       log_dir=env.train_log_path,
+                       tb_dir=env.train_tf_events_path,
+                       ckpt_dir=env.train_ckpt_path, state=state, mesh=mesh)
     print("Done")
+    return state
 
 
 if __name__ == "__main__":

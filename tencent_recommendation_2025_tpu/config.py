@@ -69,6 +69,13 @@ class TrainConfig:
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10
     grad_log_every: int = 100
+    # Sparse-table training (ops/sparse_table.py): tables listed here are
+    # trained via dedup'd row gather + row-sparse updates — per-step optimizer
+    # cost O(touched rows) instead of O(table). Required for the 100M-row
+    # north star; the reference trains its nn.Embedding densely
+    # (model.py:115-117). Currently supports "item_emb".
+    sparse_tables: Tuple[str, ...] = ()
+    table_optimizer: str = "lazy_adam"  # "lazy_adam" | "rowwise_adagrad"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,7 +179,9 @@ def sharded_multihost() -> Config:
     return Config(
         model=ModelConfig(block_type="hstu", ffn_type="swiglu", num_blocks=8,
                           reference_init=False),
-        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0, weight_decay=0.01),
+        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0,
+                          weight_decay=0.01,
+                          sparse_tables=("item_emb",)),
         mesh=MeshConfig(data=4, model=2),
     )
 

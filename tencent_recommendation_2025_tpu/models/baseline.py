@@ -101,7 +101,22 @@ class SeqRecModel:
         sparse = jnp.concatenate([batch["pos_item_sparse"], neg_sparse],
                                  axis=0)
         array = jnp.concatenate([batch["pos_item_array"], neg_array], axis=0)
+        if mesh is not None:
+            # keep the candidate-tower path in the batch layout ([2B on data,
+            # L on seq]) — without the hint the SPMD partitioner re-shards the
+            # ids through a full rematerialization (replicate-then-split)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def cons(x, *spec):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*spec)))
+
+            ids = cons(ids, "data", "seq")
+            sparse = cons(sparse, "data", "seq")
+            array = cons(array, "data", "seq")
         both = self.item_embeddings(params, ids, sparse, array, mm_tables)
+        if mesh is not None:
+            both = cons(both, "data", "seq")
         pos_embs, neg_embs = jnp.split(both, 2, axis=0)
         return log_feats, pos_embs, neg_embs
 

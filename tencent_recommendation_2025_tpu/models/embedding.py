@@ -172,7 +172,19 @@ def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
     (the big buffers: [B, L, F, D]) come out in compute precision instead of
     f32, halving their HBM footprint/traffic; casting the table itself is a
     few MB.
+
+    ``table`` may also be an :class:`ops.sparse_table.GatheredRows` — the
+    sparse-training stand-in holding only the step's touched rows — in which
+    case ids resolve by searchsorted against the gathered prefix and the
+    gradient lands on the [K, D] rows instead of the [V, D] table.
     """
+    from ..ops.sparse_table import GatheredRows
+
+    if isinstance(table, GatheredRows):
+        emb = table.lookup(ids)
+        if dtype is not None:
+            emb = emb.astype(dtype)
+        return emb * (ids != 0)[..., None].astype(emb.dtype)
     if dtype is not None:
         table = table.astype(dtype)
     emb = jnp.take(table, ids, axis=0, mode="clip")

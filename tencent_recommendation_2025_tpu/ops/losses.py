@@ -41,8 +41,17 @@ def reference_bce_loss(pos_logits: jnp.ndarray, neg_logits: jnp.ndarray,
     return pos + neg
 
 
-def l2_emb_penalty(item_emb: jnp.ndarray, l2_emb: float) -> jnp.ndarray:
-    """BaseLine's ``l2_emb * torch.norm(item_emb)`` — L2 norm, not squared."""
+def l2_emb_penalty(item_emb, l2_emb: float) -> jnp.ndarray:
+    """BaseLine's ``l2_emb * torch.norm(item_emb)`` — L2 norm, not squared.
+
+    Under sparse-table training the penalty applies to the step's touched
+    rows only (a :class:`ops.sparse_table.GatheredRows`) — the sparse analog,
+    matching torch SparseAdam-style practice.
+    """
+    from .sparse_table import GatheredRows
+
+    if isinstance(item_emb, GatheredRows):
+        item_emb = item_emb.rows
     return l2_emb * jnp.sqrt(jnp.sum(item_emb.astype(jnp.float32) ** 2))
 
 

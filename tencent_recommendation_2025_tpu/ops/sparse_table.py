@@ -1,0 +1,171 @@
+"""Sparse embedding-table training: dedup'd row gather + row-sparse updates.
+
+The reference trains its tables densely — ``nn.Embedding`` produces a dense
+gradient and AdamW touches every row every step
+(``model/BaseLine/model.py:115-117``, ``main.py:131``). At the north-star
+100M-row table (BASELINE.json configs[4]) that is ~75 GB of optimizer traffic
+per step. TPU-native replacement (the "gather-train" pattern; all shapes
+static for XLA):
+
+1. collect every item id the step touches, ``jnp.unique(ids, size=K,
+   fill_value=V)`` — K is the static touch capacity, the sentinel V sorts
+   after every real id so the unique prefix stays sorted;
+2. gather those K rows once; the loss is differentiated w.r.t. the gathered
+   ``rows`` [K, D] (dense but tiny), never the [V, D] table;
+3. lookups inside the model resolve ids against the gathered rows via
+   ``searchsorted`` (:class:`GatheredRows` slots into ``masked_take``);
+4. the optimizer updates only the K touched rows: moments are gathered,
+   updated, and scattered back — per-step cost O(K·D), independent of V.
+
+Row optimizers:
+
+- ``lazy_adam`` — Adam with the global step count as t for touched rows
+  (torch.optim.SparseAdam semantics); moments are [V, D] in HBM but only K
+  rows move per step;
+- ``rowwise_adagrad`` — per-ROW accumulator [V] (the production recsys
+  choice, cf. TPU embedding APIs): 4 bytes/row of optimizer state, so a
+  100M-row table carries 0.4 GB of state instead of 51 GB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GatheredRows:
+    """A table stand-in holding only the step's touched rows.
+
+    ``uids`` [K] sorted unique ids (sentinel-padded with the row count);
+    ``rows`` [K, D] the gathered embedding rows. ``embedding.masked_take``
+    detects this type and resolves ids by ``searchsorted`` — every model
+    call site works unchanged, and autodiff produces a [K, D] gradient.
+    """
+
+    uids: jnp.ndarray
+    rows: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.uids, self.rows), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    @property
+    def shape(self):  # row-dim queries (e.g. l2 penalty) see the gathered view
+        return self.rows.shape
+
+    def lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """rows for ``ids`` [...] -> [..., D]; caller applies padding mask."""
+        idx = jnp.searchsorted(self.uids, ids)
+        idx = jnp.clip(idx, 0, self.rows.shape[0] - 1)
+        return jnp.take(self.rows, idx, axis=0)
+
+
+def unique_touched(ids: jnp.ndarray, capacity: int, vocab_rows: int
+                   ) -> jnp.ndarray:
+    """Sorted unique ids with static size ``capacity``; padding uses the
+    sentinel ``vocab_rows`` (> any real id) so the result stays sorted and
+    sentinel rows scatter out of range (mode='drop')."""
+    return jnp.unique(ids.reshape(-1), size=capacity,
+                      fill_value=jnp.asarray(vocab_rows, ids.dtype))
+
+
+def gather_rows(table: jnp.ndarray, uids: jnp.ndarray) -> GatheredRows:
+    rows = jnp.take(table, uids, axis=0, mode="clip")
+    # sentinel lanes read the last row; zero them so they contribute nothing
+    rows = rows * (uids < table.shape[0])[:, None].astype(rows.dtype)
+    return GatheredRows(uids=uids, rows=rows)
+
+
+# ---------------------------------------------------------------------------
+# Row-sparse optimizer states + updates
+# ---------------------------------------------------------------------------
+
+def init_table_opt(table: jnp.ndarray, kind: str) -> Dict:
+    if kind == "lazy_adam":
+        return {"mu": jnp.zeros_like(table), "nu": jnp.zeros_like(table)}
+    if kind == "rowwise_adagrad":
+        # zeros_like a column slice (not a fresh zeros) so the accumulator
+        # inherits the table's row sharding when init runs under jit
+        return {"acc": jnp.zeros_like(table[:, 0], dtype=jnp.float32)}
+    raise ValueError(f"unknown table optimizer {kind!r}")
+
+
+def compute_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
+                       drows: jnp.ndarray, *, kind: str, lr,
+                       step: jnp.ndarray, b1: float = 0.9, b2: float = 0.98,
+                       eps: float = 1e-8, weight_decay: float = 0.0
+                       ) -> Tuple[jnp.ndarray, Dict]:
+    """Row math only (GATHERS, no scatters): new values for the rows in
+    ``uids`` from their gradient ``drows`` [K, D]. Returns
+    (new_rows [K, D], new opt-state rows dict).
+
+    ``step`` is the 1-based global step used for Adam bias correction
+    (torch SparseAdam semantics: touched rows correct with the global t).
+
+    Split from :func:`scatter_row_update` deliberately: XLA inserts a FULL
+    COPY of any donated buffer that is both gathered and scattered inside one
+    program (measured: a [V, D] temp per moment table — the exact dense-
+    update cost this module exists to avoid). Run the math in the grad
+    program and the scatters in a second, scatter-only program where the
+    donated tables alias in place (temp = 0).
+    """
+    f32 = jnp.float32
+    g = drows.astype(f32)
+    rows = jnp.take(table, uids, axis=0, mode="clip").astype(f32)
+    ok = (uids < table.shape[0])[:, None].astype(f32)
+    g = g * ok
+
+    if kind == "lazy_adam":
+        mu_r = jnp.take(opt["mu"], uids, axis=0, mode="clip").astype(f32)
+        nu_r = jnp.take(opt["nu"], uids, axis=0, mode="clip").astype(f32)
+        mu_r = b1 * mu_r + (1 - b1) * g
+        nu_r = b2 * nu_r + (1 - b2) * g * g
+        t = step.astype(f32)
+        mu_hat = mu_r / (1 - b1 ** t)
+        nu_hat = nu_r / (1 - b2 ** t)
+        upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+        if weight_decay:
+            upd = upd + weight_decay * rows
+        new_rows = rows - lr * upd * ok
+        opt_rows = {"mu": mu_r.astype(opt["mu"].dtype),
+                    "nu": nu_r.astype(opt["nu"].dtype)}
+    elif kind == "rowwise_adagrad":
+        acc_r = jnp.take(opt["acc"], uids, mode="clip")
+        acc_r = acc_r + jnp.mean(g * g, axis=-1)
+        scale = jax.lax.rsqrt(acc_r + eps)[:, None]
+        upd = g * scale
+        if weight_decay:
+            upd = upd + weight_decay * rows
+        new_rows = rows - lr * upd * ok
+        opt_rows = {"acc": acc_r}
+    else:
+        raise ValueError(f"unknown table optimizer {kind!r}")
+    return new_rows.astype(table.dtype), opt_rows
+
+
+def scatter_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
+                       new_rows: jnp.ndarray, opt_rows: Dict
+                       ) -> Tuple[jnp.ndarray, Dict]:
+    """Scatter-only companion of :func:`compute_row_update` — run it in its
+    own jit with ``table``/``opt`` DONATED so every scatter aliases in place
+    (sentinel uids drop out of range)."""
+    table = table.at[uids].set(new_rows, mode="drop")
+    opt = {k: opt[k].at[uids].set(v, mode="drop")
+           for k, v in opt_rows.items()}
+    return table, opt
+
+
+def apply_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
+                     drows: jnp.ndarray, **kw) -> Tuple[jnp.ndarray, Dict]:
+    """compute + scatter in one program — fine for tests/small tables; at
+    scale use the two-program split (see compute_row_update's docstring)."""
+    new_rows, opt_rows = compute_row_update(table, opt, uids, drows, **kw)
+    return scatter_row_update(table, opt, uids, new_rows, opt_rows)

@@ -128,7 +128,17 @@ def unpad_like(params_padded, params_template) -> Any:
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
-    return jax.tree.map(lambda _: NamedSharding(mesh, P("data")), batch)
+    """Batch leaves shard consumer-consistently: [B, L, ...] leaves put L on
+    the ``seq`` axis (the layout the ring-attention shard_map and the
+    seq-sharded loss path consume — anything else makes the SPMD partitioner
+    fully rematerialize ids to re-shard them), 1-D leaves just on ``data``."""
+
+    def spec(leaf):
+        if getattr(leaf, "ndim", 1) >= 2:
+            return NamedSharding(mesh, P("data", "seq"))
+        return NamedSharding(mesh, P("data"))
+
+    return jax.tree.map(spec, batch)
 
 
 def replicated(mesh: Mesh, tree) -> Any:

@@ -119,7 +119,8 @@ def dense_lookup_oracle(table: jnp.ndarray, ids: jnp.ndarray,
 
 def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
                        capacity_factor: float = 2.0,
-                       mask_zero: bool = True) -> jnp.ndarray:
+                       mask_zero: bool = True,
+                       return_overflow: bool = False):
     """All-to-all id-exchange lookup over the ``data`` axis (model must be 1).
 
     Each data-rank sorts its ids into per-owner buckets of static capacity
@@ -127,6 +128,10 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
     zero vectors — caller picks capacity; default 2x average is ample for
     uniform-ish traffic), all-to-alls the buckets, gathers locally, and
     all-to-alls the embeddings back.
+
+    With ``return_overflow`` the call also returns the GLOBAL count of ids
+    that overflowed their bucket (and therefore returned zero vectors) — a
+    runtime signal for under-sized ``capacity_factor``; log it, alert on >0.
     """
     n_data = mesh.shape["data"]
     assert mesh.shape["model"] == 1, "a2a path assumes model axis of size 1"
@@ -170,9 +175,13 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         # un-bucket: each id reads its row from [owner, my_pos]
         got = back[owner, jnp.where(ok, my_pos, 0)]
         got = jnp.where(ok[:, None], got, 0.0)
-        return got.reshape(*local_ids.shape, -1)
+        n_over = jax.lax.psum(jnp.sum(~ok), "data")
+        return got.reshape(*local_ids.shape, -1), n_over[None]
 
     fn = jax.shard_map(local_fn, mesh=mesh,
                        in_specs=(P(("data", "model"), None), P("data")),
-                       out_specs=P("data"), check_vma=False)
-    return fn(pad_rows(table, n_data), ids)
+                       out_specs=(P("data"), P()), check_vma=False)
+    emb, n_over = fn(pad_rows(table, n_data), ids)
+    if return_overflow:
+        return emb, n_over[0]
+    return emb

@@ -25,12 +25,25 @@ from . import partition
 def init_sharded_state(model: SeqRecModel, cfg: Config, mesh: Mesh,
                        seed: Optional[int] = None) -> Tuple[TrainState, Any]:
     """Initialize params on host, place sharded, init optimizer on the sharded
-    params (moments inherit shardings via zeros_like)."""
+    params (moments inherit shardings via zeros_like). With sparse tables the
+    optimizer state splits like trainer.init_state does."""
     tx = make_optimizer(cfg)
     params = model.init(jax.random.key(seed if seed is not None
                                        else cfg.train.seed))
     params = partition.shard_params(mesh, params)
-    opt_state = jax.jit(tx.init)(params)
+    sparse = tuple(cfg.train.sparse_tables)
+    if sparse:
+        from ..ops.sparse_table import init_table_opt
+
+        dense = {k: v for k, v in params.items() if k not in sparse}
+        opt_state = {
+            "dense": jax.jit(tx.init)(dense),
+            "tables": {n: jax.jit(
+                lambda t: init_table_opt(t, cfg.train.table_optimizer)
+            )(params[n]) for n in sparse},
+        }
+    else:
+        opt_state = jax.jit(tx.init)(params)
     step = jax.device_put(jnp.zeros((), jnp.int32),
                           NamedSharding(mesh, P()))
     return TrainState(params=params, opt_state=opt_state, step=step), tx
@@ -38,6 +51,96 @@ def init_sharded_state(model: SeqRecModel, cfg: Config, mesh: Mesh,
 
 def shard_batch(mesh: Mesh, batch) -> Any:
     return jax.device_put(batch, partition.batch_shardings(mesh, batch))
+
+
+def _walk_opt_state(node, param_treedef, on_params, on_leaf):
+    """Apply on_params to param-structured subtrees of an optax state tree,
+    on_leaf elsewhere (scalars like counts)."""
+    if jax.tree.structure(node) == param_treedef:
+        return on_params(node)
+    if isinstance(node, tuple) and type(node) is not tuple:  # NamedTuple
+        return type(node)(*[_walk_opt_state(f, param_treedef, on_params,
+                                            on_leaf) for f in node])
+    if isinstance(node, (tuple, list)):
+        return type(node)(_walk_opt_state(f, param_treedef, on_params,
+                                          on_leaf) for f in node)
+    if isinstance(node, dict):
+        return {k: _walk_opt_state(v, param_treedef, on_params, on_leaf)
+                for k, v in node.items()}
+    return on_leaf(node)
+
+
+def _is_sparse_opt(opt_state) -> bool:
+    return isinstance(opt_state, dict) and set(opt_state) == {"dense",
+                                                              "tables"}
+
+
+def _shard_table_moment(mesh: Mesh, v):
+    """Row-shard (and row-pad) a sparse-table optimizer moment: [V, D] mu/nu
+    or [V] adagrad accumulator."""
+    n = int(np.prod([mesh.shape[a] for a in partition.TABLE_AXES]))
+    rows = v.shape[0]
+    padded = n * (-(-rows // n))
+    if padded != rows:
+        pad = [(0, padded - rows)] + [(0, 0)] * (v.ndim - 1)
+        v = jnp.pad(v, pad)
+    spec = P(partition.TABLE_AXES, *([None] * (v.ndim - 1)))
+    return jax.device_put(v, NamedSharding(mesh, spec))
+
+
+def shard_existing_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Place an existing (host / single-device) TrainState onto the mesh —
+    the resume path: checkpoint restores into an unsharded template, then
+    lands here. Optimizer moments shard (and row-pad) like their params."""
+    params = partition.shard_params(mesh, state.params)
+    repl = lambda l: jax.device_put(l, NamedSharding(mesh, P()))  # noqa: E731
+    if _is_sparse_opt(state.opt_state):
+        dense_params = {k: v for k, v in state.params.items()
+                        if k not in state.opt_state["tables"]}
+        dtree = jax.tree.structure(dense_params)
+        opt_state = {
+            "dense": _walk_opt_state(
+                state.opt_state["dense"], dtree,
+                on_params=lambda p: partition.shard_params(mesh, p),
+                on_leaf=repl),
+            "tables": {n: {k: _shard_table_moment(mesh, v)
+                           for k, v in m.items()}
+                       for n, m in state.opt_state["tables"].items()},
+        }
+    else:
+        opt_state = _walk_opt_state(
+            state.opt_state, jax.tree.structure(state.params),
+            on_params=lambda p: partition.shard_params(mesh, p),
+            on_leaf=repl)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(params=params, opt_state=opt_state, step=step)
+
+
+def unpad_state(state: TrainState, params_template) -> TrainState:
+    """Strip the table-row shard padding from params AND optimizer moments so
+    checkpoints keep the logical (mesh-independent) shapes.
+    ``params_template`` only needs shapes (e.g. from jax.eval_shape)."""
+    params = partition.unpad_like(state.params, params_template)
+    tdict = params_template if isinstance(params_template, dict) else None
+    if _is_sparse_opt(state.opt_state):
+        dense_template = {k: v for k, v in tdict.items()
+                          if k not in state.opt_state["tables"]}
+        dtree = jax.tree.structure(dense_template)
+        opt_state = {
+            "dense": _walk_opt_state(
+                state.opt_state["dense"], dtree,
+                on_params=lambda p: partition.unpad_like(p, dense_template),
+                on_leaf=lambda l: l),
+            "tables": {n: {k: v[: tdict[n].shape[0]]
+                           for k, v in m.items()}
+                       for n, m in state.opt_state["tables"].items()},
+        }
+    else:
+        opt_state = _walk_opt_state(
+            state.opt_state, jax.tree.structure(state.params),
+            on_params=lambda p: partition.unpad_like(p, params_template),
+            on_leaf=lambda l: l)
+    return TrainState(params=params, opt_state=opt_state, step=state.step)
 
 
 def shard_tables(mesh: Mesh, tables) -> Any:
@@ -61,20 +164,10 @@ def shard_tables(mesh: Mesh, tables) -> Any:
 
 
 def make_sharded_train_step(model: SeqRecModel, tx, cfg: Config, mesh: Mesh):
-    """Same semantics as trainer.make_train_step, compiled over the mesh."""
-    import optax
+    """The SAME step as trainer.make_train_step (incl. the sparse-table
+    branch), compiled over the mesh — sharded inputs make XLA emit the
+    collectives; ``mesh`` additionally routes ring attention and the
+    sharding-constraint hints in the loss path."""
+    from ..train.trainer import make_train_step
 
-    def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
-        rng = jax.random.fold_in(rng, state.step)
-
-        def loss_fn(params):
-            return compute_loss(model, params, batch, mm_tables, item_tables,
-                                cfg, train=True, rng=rng, mesh=mesh)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
-
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return make_train_step(model, tx, cfg, mesh=mesh)

@@ -24,7 +24,7 @@ from ..data.featurizer import ItemFeatureTables
 from ..models.baseline import SeqRecModel
 from ..ops import losses as L
 from . import telemetry as T
-from .checkpoint import save_checkpoint
+from .checkpoint import save_checkpoint_async
 
 
 @dataclasses.dataclass
@@ -73,7 +73,10 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                                          batch["pos_item_sparse"],
                                          batch["pos_item_array"], mm_tables)
         n = cfg.train.num_sampled_negatives
-        neg_ids = jax.random.randint(neg_rng, (n,), 1, model.itemnum + 1)
+        # the sparse-table step pre-samples negatives (their ids must join
+        # the touched-row dedup before the loss runs)
+        neg_ids = batch["sampled_neg_ids"] if "sampled_neg_ids" in batch \
+            else jax.random.randint(neg_rng, (n,), 1, model.itemnum + 1)
         neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0, mode="clip")
         neg_array = jnp.take(item_tables["array"], neg_ids, axis=0, mode="clip")
         neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
@@ -93,42 +96,187 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
     return loss, {"loss": loss, "bce": bce}
 
 
+def _grad_metrics(metrics: Dict, *grad_trees) -> Dict:
+    leaves = [l for t in grad_trees for l in jax.tree.leaves(t)]
+    metrics = dict(metrics)
+    metrics["grad_max"] = jnp.max(jnp.stack([jnp.abs(g).max()
+                                             for g in leaves]))
+    metrics["grad_mean"] = jnp.mean(jnp.stack([jnp.abs(g).mean()
+                                               for g in leaves]))
+    return metrics
+
+
+def _collect_touched_item_ids(batch, cfg: Config):
+    """Every item id the step can touch in ``item_emb``: sequence item
+    tokens, positives, and (per loss type) uniform or sampled negatives."""
+    parts = [jnp.where(batch["token_type"] == 1, batch["seq"], 0).reshape(-1),
+             batch["pos"].reshape(-1)]
+    if cfg.train.loss_type == "sampled_softmax":
+        parts.append(batch["sampled_neg_ids"].reshape(-1))
+    else:
+        parts.append(batch["neg"].reshape(-1))
+    return jnp.concatenate(parts)
+
+
 def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
                     cfg: Config, mesh=None):
-    def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
-        rng = jax.random.fold_in(rng, state.step)
+    """One jitted train step. With ``cfg.train.sparse_tables`` the listed
+    tables train via the gather-train pattern (ops/sparse_table.py): dedup
+    touched ids -> gather K rows -> differentiate w.r.t. the rows -> row-
+    sparse optimizer update. Per-step table cost is O(touched rows), not
+    O(table) — the scale fix over the reference's dense nn.Embedding +
+    AdamW (``model.py:115-117``, ``main.py:131``)."""
+    sparse = tuple(cfg.train.sparse_tables)
+    assert set(sparse) <= {"item_emb"}, \
+        f"sparse_tables supports ('item_emb',), got {sparse}"
 
-        def loss_fn(params):
+    if not sparse:
+        def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                return compute_loss(model, params, batch, mm_tables,
+                                    item_tables, cfg, train=True, rng=rng,
+                                    mesh=mesh)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = _grad_metrics(metrics, grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ---- sparse-table path: TWO dispatches per step ----------------------
+    # Phase 1 (tables READ-ONLY): grads, dense-param update, row math.
+    # Phase 2 (tables DONATED, scatter-only): write the touched rows.
+    # One program doing both would make XLA insert a full [V, D] copy per
+    # gathered-and-scattered table (see ops/sparse_table.compute_row_update).
+    from ..ops import sparse_table as ST
+
+    def phase1(dense_state, table, table_opt, batch, mm_tables, item_tables,
+               rng):
+        dense_params, dense_opt, step_no = dense_state
+        rng = jax.random.fold_in(rng, step_no)
+        batch = dict(batch)
+        if cfg.train.loss_type == "sampled_softmax":
+            rng, neg_rng = jax.random.split(rng)
+            batch["sampled_neg_ids"] = jax.random.randint(
+                neg_rng, (cfg.train.num_sampled_negatives,), 1,
+                model.itemnum + 1)
+        V = table.shape[0]
+        ids_all = _collect_touched_item_ids(batch, cfg)
+        uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
+                                 vocab_rows=V)
+        rows0 = ST.gather_rows(table, uids).rows
+
+        def loss_fn(dense, rows):
+            params = dict(dense)
+            params["item_emb"] = ST.GatheredRows(uids, rows)
             return compute_loss(model, params, batch, mm_tables, item_tables,
                                 cfg, train=True, rng=rng, mesh=mesh)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        gleaves = [jnp.abs(g).max() for g in jax.tree.leaves(grads)]
-        gmeans = [jnp.abs(g).mean() for g in jax.tree.leaves(grads)]
-        metrics = dict(metrics)
-        metrics["grad_max"] = jnp.max(jnp.stack(gleaves))
-        metrics["grad_mean"] = jnp.mean(jnp.stack(gmeans))
-        return TrainState(params, opt_state, state.step + 1), metrics
+        (loss, metrics), (dgrads, drows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(dense_params, rows0)
+        updates, dense_opt = tx.update(dgrads, dense_opt, dense_params)
+        new_dense = optax.apply_updates(dense_params, updates)
+        new_rows, opt_rows = ST.compute_row_update(
+            table, table_opt, uids, drows, kind=cfg.train.table_optimizer,
+            lr=cfg.train.lr, step=step_no + 1, b1=cfg.train.adam_b1,
+            b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
+        metrics = _grad_metrics(metrics, dgrads, drows)
+        return ((new_dense, dense_opt, step_no + 1), uids, new_rows,
+                opt_rows, metrics)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    phase1 = jax.jit(phase1, donate_argnums=(0,))
+    phase2 = jax.jit(ST.scatter_row_update, donate_argnums=(0, 1))
+
+    def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
+        dense_params = {k: v for k, v in state.params.items()
+                        if k not in sparse}
+        table = state.params["item_emb"]
+        table_opt = state.opt_state["tables"]["item_emb"]
+        dense_state = (dense_params, state.opt_state["dense"], state.step)
+        dense_state, uids, new_rows, opt_rows, metrics = phase1(
+            dense_state, table, table_opt, batch, mm_tables, item_tables,
+            rng)
+        new_table, new_topt = phase2(table, table_opt, uids, new_rows,
+                                     opt_rows)
+        new_dense, dense_opt, step_no = dense_state
+        params = dict(new_dense)
+        params["item_emb"] = new_table
+        opt_state = {"dense": dense_opt, "tables": {"item_emb": new_topt}}
+        return TrainState(params, opt_state, step_no), metrics
+
+    return step_fn
 
 
-def make_eval_step(model: SeqRecModel, cfg: Config):
+def make_eval_step(model: SeqRecModel, cfg: Config, mesh=None):
     def step_fn(params, batch, mm_tables, item_tables):
         loss, metrics = compute_loss(model, params, batch, mm_tables,
-                                     item_tables, cfg, train=False, rng=None)
+                                     item_tables, cfg, train=False, rng=None,
+                                     mesh=mesh)
         return metrics
 
     return jax.jit(step_fn)
 
 
-def init_state(model: SeqRecModel, tx, seed: int) -> TrainState:
+def init_state(model: SeqRecModel, tx, seed: int,
+               cfg: Optional[Config] = None) -> TrainState:
+    """With ``cfg.train.sparse_tables`` the optimizer state splits into
+    {"dense": optax state over the non-table params, "tables": row-sparse
+    optimizer state per table} — pass the SAME cfg used for the train step
+    (checkpoint templates must match)."""
     params = model.init(jax.random.key(seed))
-    return TrainState(params=params, opt_state=tx.init(params),
+    sparse = tuple(cfg.train.sparse_tables) if cfg is not None else ()
+    if sparse:
+        from ..ops.sparse_table import init_table_opt
+
+        dense = {k: v for k, v in params.items() if k not in sparse}
+        opt_state = {
+            "dense": tx.init(dense),
+            "tables": {n: init_table_opt(params[n], cfg.train.table_optimizer)
+                       for n in sparse},
+        }
+    else:
+        opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
+
+
+def setup_training(model: SeqRecModel, cfg: Config, tables: Dict[str, Any],
+                   mesh=None, state: Optional[TrainState] = None):
+    """Build (state, train_step, eval_step, tables, put_batch) for either the
+    single-device or the mesh-sharded path. This is THE product code path:
+    ``train_loop`` (hence ``cli.train``) and ``dryrun_multichip`` both come
+    through here, so the sharded step the driver validates is the one the CLI
+    trains with. Replaces the reference's single-device-only driver
+    (``model/BaseLine/main.py:51-275``).
+
+    ``tables`` is the device_tables() dict; with a mesh it is re-placed
+    row-sharded. ``state`` (resume) may be unsharded — it gets placed.
+    """
+    if mesh is None:
+        tx = make_optimizer(cfg)
+        if state is None:
+            state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        return (state, make_train_step(model, tx, cfg),
+                make_eval_step(model, cfg), tables, jax.device_put)
+
+    from ..parallel import train as PT
+
+    if state is None:
+        state, tx = PT.init_sharded_state(model, cfg, mesh)
+    else:
+        tx = make_optimizer(cfg)
+        state = PT.shard_existing_state(mesh, state)
+    tables = PT.shard_tables(mesh, tables)
+    train_step = PT.make_sharded_train_step(model, tx, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
+    return (state, train_step, eval_step, tables,
+            lambda b: PT.shard_batch(mesh, b))
 
 
 def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
@@ -138,19 +286,25 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                ckpt_dir: Optional[str] = None,
                state: Optional[TrainState] = None,
                num_epochs: Optional[int] = None,
+               mesh=None,
                verbose: bool = True) -> TrainState:
     """The reference epoch loop (main.py:154-269): train epochs with per-step
-    telemetry, full validation pass per epoch, checkpoint per epoch."""
-    tx = make_optimizer(cfg)
-    if state is None:
-        state = init_state(model, tx, cfg.train.seed)
-    tables = device_tables(item_tables)
+    telemetry, full validation pass per epoch, checkpoint per epoch.
+
+    With ``mesh``, the whole loop runs sharded: DP batches, TP projections,
+    row-sharded (EP) tables, SP ring attention — see setup_training.
+    """
+    state, train_step, eval_step, tables, put_batch = setup_training(
+        model, cfg, device_tables(item_tables), mesh=mesh, state=state)
     mm_tables = tables["mm"]
-    train_step = make_train_step(model, tx, cfg)
-    eval_step = make_eval_step(model, cfg)
     rng = jax.random.key(cfg.train.seed + 1)
+    # checkpoints keep logical (mesh-independent) shapes: strip table-row
+    # shard padding before save so restore works on any mesh
+    params_template = jax.eval_shape(model.init, jax.random.key(0)) \
+        if mesh is not None else None
 
     epochs = num_epochs or cfg.train.num_epochs
+    save_handle = None
     jlog = T.JsonlLogger(log_dir)
     tb = T.TBWriter(tb_dir)
     timer = T.StepTimer(total_steps=len(train_loader) * epochs)
@@ -161,7 +315,7 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # held-out batch scored every grad_log_every steps
     probe_batch = None
     if valid_loader is not None and len(valid_loader) > 0:
-        probe_batch = jax.device_put(next(iter(valid_loader.epoch(0))))
+        probe_batch = put_batch(next(iter(valid_loader.epoch(0))))
 
     # Metrics stay on device and are fetched in batches every ``log_every``
     # steps — a per-step ``float(loss)`` would force a host<->device sync
@@ -201,7 +355,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
 
     for epoch in range(1, epochs + 1):
         for step, batch in enumerate(
-                prefetch_to_device(train_loader.epoch(epoch))):
+                prefetch_to_device(train_loader.epoch(epoch),
+                                   device_put=put_batch)):
             t0 = time.time()
             state, metrics = train_step(state, batch, mm_tables, tables, rng)
             rec = timer.tick(time.time() - t0)
@@ -220,7 +375,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         vstart = time.time()
         vloss, vsteps = 0.0, 0
         if valid_loader is not None:
-            for batch in prefetch_to_device(valid_loader.epoch(0)):
+            for batch in prefetch_to_device(valid_loader.epoch(0),
+                                            device_put=put_batch):
                 m = eval_step(state.params, batch, mm_tables, tables)
                 vloss += float(m["loss"])
                 vsteps += 1
@@ -232,8 +388,18 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             print(f"epoch {epoch}: valid_loss {valid_loss:.4f} "
                   f"({T.format_time(vtime)})")
         if ckpt_dir:
-            save_checkpoint(ckpt_dir, state, timer.global_step, valid_loss)
+            to_save = state
+            if mesh is not None:
+                from ..parallel.train import unpad_state
+                to_save = unpad_state(state, params_template)
+            if save_handle is not None:
+                save_handle.result()  # one save in flight at a time
+            save_handle = save_checkpoint_async(
+                ckpt_dir, to_save, timer.global_step, valid_loss,
+                model_config=model.cfg)
 
+    if save_handle is not None:
+        save_handle.result()
     jlog.close()
     tb.close()
     return state

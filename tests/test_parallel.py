@@ -73,6 +73,53 @@ def test_a2a_lookup_matches_dense():
 
 
 @requires_8
+def test_a2a_lookup_gradient_matches_dense():
+    """Transpose of the a2a id-exchange lookup == dense scatter-add grad
+    (the path was forward-only-tested in round 1)."""
+    mesh = M.build_mesh(MeshConfig(data=8, model=1, seq=1))
+    rng = np.random.default_rng(5)
+    V, D = 64, 8
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, (16, 4)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((16, 4, D)), jnp.float32)
+
+    def f_a2a(t):
+        return (SE.sharded_lookup_a2a(mesh, t, ids,
+                                      capacity_factor=8.0) * cot).sum()
+
+    def f_dense(t):
+        return (SE.dense_lookup_oracle(t, ids) * cot).sum()
+
+    g_s = jax.grad(f_a2a)(table)
+    g_d = jax.grad(f_dense)(table)
+    np.testing.assert_allclose(np.asarray(g_s)[:V], np.asarray(g_d),
+                               rtol=1e-5, atol=1e-6)
+
+
+@requires_8
+def test_a2a_overflow_counter():
+    """Bucket overflow returns zero vectors AND a nonzero global counter —
+    the runtime signal for an under-sized capacity_factor."""
+    mesh = M.build_mesh(MeshConfig(data=8, model=1, seq=1))
+    V, D = 64, 8
+    rng = np.random.default_rng(6)
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    # every id on one rank owned by shard 0 -> bucket overflow at cap 1
+    ids = jnp.asarray(np.full((8, 8), 1), jnp.int32)
+    out, n_over = SE.sharded_lookup_a2a(mesh, table, ids,
+                                        capacity_factor=0.125,
+                                        return_overflow=True)
+    assert int(n_over) > 0
+    # ample capacity: no overflow, exact match
+    out2, n2 = SE.sharded_lookup_a2a(mesh, table, ids, capacity_factor=8.0,
+                                     return_overflow=True)
+    assert int(n2) == 0
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.asarray(SE.dense_lookup_oracle(table, ids)),
+                               rtol=1e-6)
+
+
+@requires_8
 def test_ring_attention_matches_dense(mesh_seq):
     from tencent_recommendation_2025_tpu.models.attention import (
         safe_masked_softmax)

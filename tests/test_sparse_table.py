@@ -1,0 +1,222 @@
+"""Sparse embedding-table training (ops/sparse_table.py): the gather-train
+pattern must reproduce dense training exactly where they overlap, touch only
+the dedup'd rows, and run sharded. Replaces the reference's dense
+nn.Embedding + AdamW table update (``model/BaseLine/model.py:115-117``,
+``main.py:131``) with an O(touched-rows) step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tencent_recommendation_2025_tpu.ops import sparse_table as ST
+
+
+def test_gathered_rows_lookup_matches_dense():
+    rng = np.random.default_rng(0)
+    V, D = 1000, 16
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, (4, 37)), jnp.int32)
+    ids = ids.at[0, :5].set(0)  # padding lanes
+    uids = ST.unique_touched(ids, capacity=ids.size, vocab_rows=V)
+    g = ST.gather_rows(table, uids)
+
+    from tencent_recommendation_2025_tpu.models.embedding import masked_take
+
+    got = masked_take(g, ids)
+    want = masked_take(table, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_lazy_adam_matches_numpy_sparse_adam():
+    """apply_row_update(lazy_adam) vs a numpy SparseAdam oracle, 3 steps with
+    different touched sets."""
+    rng = np.random.default_rng(1)
+    V, D = 64, 8
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    mu = np.zeros_like(table)
+    nu = np.zeros_like(table)
+    # copies: jnp.asarray can be ZERO-COPY on CPU, and the numpy oracle
+    # mutates its arrays in place — aliasing would corrupt the jax side
+    jt = jnp.array(table, copy=True)
+    jopt = {"mu": jnp.array(mu, copy=True), "nu": jnp.array(nu, copy=True)}
+    lr, b1, b2, eps = 1e-2, 0.9, 0.98, 1e-8
+
+    for t in range(1, 4):
+        touched = rng.choice(V, size=10, replace=False)
+        grads_raw = rng.standard_normal((10, D)).astype(np.float32)
+        order = np.argsort(touched)
+        uids_np, grads = touched[order], grads_raw[order]
+        # numpy oracle (torch SparseAdam semantics: global t for touched rows)
+        for u, g in zip(uids_np, grads):
+            mu[u] = b1 * mu[u] + (1 - b1) * g
+            nu[u] = b2 * nu[u] + (1 - b2) * g * g
+            mhat = mu[u] / (1 - b1 ** t)
+            nhat = nu[u] / (1 - b2 ** t)
+            table[u] -= lr * mhat / (np.sqrt(nhat) + eps)
+        # kernel under test (pad uids to capacity 16 with the sentinel)
+        uids = jnp.asarray(np.concatenate([uids_np,
+                                           np.full(6, V)]), jnp.int32)
+        drows = jnp.asarray(np.concatenate([grads, np.zeros((6, D),
+                                                            np.float32)]))
+        jt, jopt = ST.apply_row_update(jt, jopt, uids, drows,
+                                       kind="lazy_adam", lr=lr,
+                                       step=jnp.asarray(t), b1=b1, b2=b2,
+                                       eps=eps)
+    np.testing.assert_allclose(np.asarray(jt), table, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jopt["mu"]), mu, rtol=1e-5,
+                               atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def sparse_setup(small_setup):
+    """Two configs over the same model: dense vs sparse item_emb training
+    (wd=0, l2=0 so the overlap is exact)."""
+    from tencent_recommendation_2025_tpu.config import TrainConfig
+
+    base = small_setup["cfg"]
+    tr = TrainConfig(batch_size=8, lr=1e-2, l2_emb=0.0, weight_decay=0.0)
+    dense_cfg = base.replace(train=tr)
+    sparse_cfg = base.replace(train=dataclasses.replace(
+        tr, sparse_tables=("item_emb",)))
+    return dense_cfg, sparse_cfg
+
+
+def _one_batch(small_setup, cfg, seed=0):
+    from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+    from tencent_recommendation_2025_tpu.data.pipeline import (TrainLoader,
+                                                               train_val_split)
+
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           small_setup["model"].cfg.maxlen)
+    tr, _ = train_val_split(len(sampler), 0.1, 0)
+    loader = TrainLoader(sampler, tr, cfg.train.batch_size, seed=seed)
+    return next(iter(loader.epoch(0)))
+
+
+def test_sparse_step_matches_dense_step(small_setup, sparse_setup):
+    """Step 1 from identical init: loss identical, ALL params match the dense
+    step (untouched rows have zero grad and zero moments at t=1, so dense
+    Adam leaves them unchanged too)."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    dense_cfg, sparse_cfg = sparse_setup
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = jax.device_put(_one_batch(small_setup, dense_cfg))
+    key = jax.random.key(7)
+
+    outs = {}
+    for name, cfg in (("dense", dense_cfg), ("sparse", sparse_cfg)):
+        tx = make_optimizer(cfg)
+        state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        step = make_train_step(model, tx, cfg)
+        state, metrics = step(state, batch, tables["mm"], tables, key)
+        outs[name] = (state, float(metrics["loss"]))
+
+    assert outs["dense"][1] == pytest.approx(outs["sparse"][1], rel=1e-6)
+    d, s = outs["dense"][0].params, outs["sparse"][0].params
+    for k in d:
+        for dl, sl in zip(jax.tree.leaves(d[k]), jax.tree.leaves(s[k])):
+            np.testing.assert_allclose(np.asarray(dl), np.asarray(sl),
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_sparse_untouched_rows_frozen(small_setup, sparse_setup):
+    """Across several steps, rows never referenced by any batch stay
+    bit-identical to their init values (the O(touched) guarantee)."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    _, sparse_cfg = sparse_setup
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    tx = make_optimizer(sparse_cfg)
+    state = init_state(model, tx, sparse_cfg.train.seed, cfg=sparse_cfg)
+    init_table = np.asarray(state.params["item_emb"]).copy()
+    step = make_train_step(model, tx, sparse_cfg)
+    key = jax.random.key(3)
+
+    touched = set()
+    for i in range(3):
+        batch = _one_batch(small_setup, sparse_cfg, seed=i)
+        touched |= set(np.asarray(batch["seq"]).ravel().tolist())
+        touched |= set(np.asarray(batch["pos"]).ravel().tolist())
+        touched |= set(np.asarray(batch["neg"]).ravel().tolist())
+        state, m = step(state, jax.device_put(batch), tables["mm"], tables,
+                        key)
+        assert np.isfinite(float(m["loss"]))
+
+    final = np.asarray(state.params["item_emb"])
+    untouched = sorted(set(range(final.shape[0])) - touched)
+    assert untouched, "fixture too small: every row touched"
+    np.testing.assert_array_equal(final[untouched], init_table[untouched])
+    # and the lazy-Adam moments of untouched rows never moved either
+    mu = np.asarray(state.opt_state["tables"]["item_emb"]["mu"])
+    np.testing.assert_array_equal(mu[untouched], 0.0)
+    # touched rows DID move
+    moved = sorted(t for t in touched if t > 0)
+    assert np.abs(final[moved] - init_table[moved]).max() > 0
+
+
+def test_rowwise_adagrad_trains(small_setup, sparse_setup):
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    _, sparse_cfg = sparse_setup
+    cfg = sparse_cfg.replace(train=dataclasses.replace(
+        sparse_cfg.train, table_optimizer="rowwise_adagrad"))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    tx = make_optimizer(cfg)
+    state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    assert set(state.opt_state["tables"]["item_emb"]) == {"acc"}
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.key(3)
+    batch = jax.device_put(_one_batch(small_setup, cfg))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch, tables["mm"], tables, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_sparse_sharded_step(small_setup, sparse_setup):
+    """The sparse branch composes with the mesh: one sharded step on the
+    8-device mesh, table + moments stay row-sharded, loss finite and equal
+    to the single-device sparse step."""
+    import __graft_entry__  # noqa: F401  (repo root already on sys.path)
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    _, sparse_cfg = sparse_setup
+    cfg = sparse_cfg.replace(mesh=MeshConfig(data=8))
+    model = small_setup["model"]
+    batch = _one_batch(small_setup, cfg)
+    key = jax.random.key(11)
+
+    # single-device reference
+    tx = make_optimizer(cfg)
+    s0 = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    m0 = make_train_step(model, tx, cfg)(
+        s0, jax.device_put(batch), device_tables(small_setup["tables"])["mm"],
+        device_tables(small_setup["tables"]), key)[1]
+
+    mesh = build_mesh(cfg.mesh)
+    state, tx = PT.init_sharded_state(model, cfg, mesh)
+    tables = PT.shard_tables(mesh, device_tables(small_setup["tables"]))
+    step = PT.make_sharded_train_step(model, tx, cfg, mesh)
+    state, metrics = step(state, PT.shard_batch(mesh, batch), tables["mm"],
+                          tables, key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]),
+                                                   rel=1e-5)
+    assert len(state.params["item_emb"].sharding.device_set) == 8
+    mu = state.opt_state["tables"]["item_emb"]["mu"]
+    assert len(mu.sharding.device_set) == 8
