@@ -39,10 +39,13 @@ def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
     b = G._make_batch(rng, batch, L, schema, model.itemnum, model.usernum)
     tables = G._make_tables(rng, min(itemnum, 200_000), schema)
     # feature tables stay small (ids clip); the LEARNED table is the giant one
-    b_dev = jax.device_put(b)
 
     from tencent_recommendation_2025_tpu.train.trainer import (
-        init_state, make_optimizer, make_train_step)
+        augment_batch_sparse, init_state, make_optimizer, make_train_step)
+
+    # host-side dedup (the product pipeline does this on the prefetch thread)
+    b = augment_batch_sparse(b, cfg, model.itemnum, (0, 1))
+    b_dev = jax.device_put(b)
 
     tx = make_optimizer(cfg)
     state = init_state(model, tx, cfg.train.seed, cfg=cfg)

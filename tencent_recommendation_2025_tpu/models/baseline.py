@@ -48,18 +48,20 @@ class SeqRecModel:
     def item_embeddings(self, params: Mapping, ids: jnp.ndarray,
                         item_sparse: jnp.ndarray, item_array: jnp.ndarray,
                         mm_tables: Mapping[str, jnp.ndarray],
-                        mm_override: Optional[Mapping[str, jnp.ndarray]] = None
-                        ) -> jnp.ndarray:
+                        mm_override: Optional[Mapping[str, jnp.ndarray]] = None,
+                        lookup_site: Optional[str] = None) -> jnp.ndarray:
         """Item tower on explicit ids+features (include_user=False path).
 
         ``mm_override`` supplies explicit multimodal vectors (candidate corpus
         cold items); otherwise vectors are gathered from ``mm_tables`` by id.
+        ``lookup_site`` names the call site for sparse-training lookup plans.
         """
         mm_vecs = mm_override if mm_override is not None else \
             E.gather_mm(mm_tables, ids, self.schema,
                         dtype=jnp.dtype(self.cfg.dtype))
         return E.item_tower(params, ids, item_sparse, item_array, mm_vecs,
-                            self.fused, self.schema, self.cfg)
+                            self.fused, self.schema, self.cfg,
+                            lookup_site=lookup_site)
 
     # ---- encoder (log2feats) ------------------------------------------
     def log2feats(self, params: Mapping, batch: Mapping,
@@ -114,7 +116,8 @@ class SeqRecModel:
             ids = cons(ids, "data", "seq")
             sparse = cons(sparse, "data", "seq")
             array = cons(array, "data", "seq")
-        both = self.item_embeddings(params, ids, sparse, array, mm_tables)
+        both = self.item_embeddings(params, ids, sparse, array, mm_tables,
+                                    lookup_site="posneg")
         if mesh is not None:
             both = cons(both, "data", "seq")
         pos_embs, neg_embs = jnp.split(both, 2, axis=0)

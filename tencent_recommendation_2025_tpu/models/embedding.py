@@ -161,7 +161,7 @@ def _onehot_full_lookup(table, ids, offsets_t, sizes_t, dtype):
     return stacked.reshape(*lead, F, D)
 
 def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
-                dtype=None) -> jnp.ndarray:
+                dtype=None, site=None) -> jnp.ndarray:
     """``table[ids] * (ids != 0)`` — the padding_idx-0 contract.
 
     mode='clip': out-of-range ids clamp to the last row instead of jnp's
@@ -181,7 +181,7 @@ def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
     from ..ops.sparse_table import GatheredRows
 
     if isinstance(table, GatheredRows):
-        emb = table.lookup(ids)
+        emb = table.lookup(ids, site=site)
         if dtype is not None:
             emb = emb.astype(dtype)
         return emb * (ids != 0)[..., None].astype(emb.dtype)
@@ -307,17 +307,20 @@ def item_tower(params: Mapping, ids: jnp.ndarray,
                mm_vecs: Mapping[str, jnp.ndarray],
                fused: FusedVocab, schema: FeatureSchema,
                cfg: ModelConfig,
-               item_emb_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               item_emb_override: Optional[jnp.ndarray] = None,
+               lookup_site: Optional[str] = None) -> jnp.ndarray:
     """Item-token embedding: id emb ++ sparse ++ array-sum ++ mm-proj -> DNN.
 
     Feature concat order matches the reference's ``item_feat_list`` build
     (id emb, then ITEM_SPARSE order, ITEM_ARRAY order, continual, mm order).
     ``item_emb_override`` lets the sharded-table layer substitute a
-    pre-gathered id embedding.
+    pre-gathered id embedding. ``lookup_site`` names this call site for the
+    sparse-training lookup plans (ops/sparse_table.GatheredRows).
     """
     dtype = jnp.dtype(cfg.dtype)
     id_emb = item_emb_override if item_emb_override is not None \
-        else masked_take(params["item_emb"], ids, dtype=dtype)
+        else masked_take(params["item_emb"], ids, dtype=dtype,
+                         site=lookup_site)
     feats = [id_emb.astype(dtype)]
 
     if fused.n_item_sparse:
@@ -391,7 +394,8 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
     mm_vecs = gather_mm(mm_tables, item_ids, schema,
                         dtype=jnp.dtype(cfg.dtype))
     it = item_tower(params, item_ids, batch["seq_item_sparse"],
-                    batch["seq_item_array"], mm_vecs, fused, schema, cfg)
+                    batch["seq_item_array"], mm_vecs, fused, schema, cfg,
+                    lookup_site="seq")
     ut = user_tower(params, user_ids, batch["seq_user_sparse"],
                     batch["seq_user_array"], fused, cfg)
     return it + ut

@@ -151,11 +151,10 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
                                           hd ** -0.5, seq_len=L)
 
         return mha_core, hstu_core
-    # fused-kernel coverage on v5e VMEM: the whole-sequence variant up to
-    # L=1024, the blocked long variant to L=2048; beyond that single-chip
-    # runs use the dense path and multi-chip ones shard L over the seq axis
-    # (ring attention), which has no such cap.
-    if cfg.use_flash_attention and 256 <= L <= 2048 and L % 128 == 0 \
+    # fused-kernel coverage: the whole-sequence variant up to L=1024, the
+    # chunked-KV variant beyond that (VMEM flat in L — K/V stream in [128, D]
+    # tiles); multi-chip runs shard L over the seq axis (ring attention).
+    if cfg.use_flash_attention and 256 <= L and L % 128 == 0 \
             and jax.default_backend() == "tpu":
         from ..ops import hstu_attention as HK
 
@@ -166,7 +165,15 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
                                             num_heads=cfg.num_heads)
 
         hstu_core.packed = True  # consumes [B, L, D], not [B, H, L, hd]
-        return None, hstu_core
+
+        mha_core = None
+        if L <= 1024:  # flash-MHA whole-seq VMEM budget
+            from ..ops import flash_attention as FA
+
+            def mha_core(q, k, v):
+                return FA.flash_mha(q, k, v, valid)
+
+        return mha_core, hstu_core
     return None, None
 
 

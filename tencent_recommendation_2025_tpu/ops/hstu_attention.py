@@ -198,112 +198,148 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
 
 # ---------------------------------------------------------------------------
-# Long-sequence variant: grid (B, L/BLK). The whole-sequence kernels above
-# unroll every q block into one program and exceed v5e's scoped VMEM beyond
-# L=1024; here each grid step owns ONE q block, the bias stripe is assembled
-# with dynamic tile writes into scratch, and dk/dv accumulate across the
-# (consecutive) qb steps of each batch row. ~2x masked-FLOP waste vs the
-# unrolled variant (full-L stripes), but memory stays flat in L.
+# Long-sequence variant (chunked KV): K/V stream through VMEM in [BLK, D]
+# tiles on a (B, nq, nk) / (B, nk, nq) grid — VMEM use is flat in L (the
+# round-1 variant loaded whole [L, D] K/V blocks and capped at L=2048 on
+# v5e's scoped VMEM). Fully-above-diagonal (kb > qb) tiles skip compute via
+# pl.when. Backward runs as TWO passes (dq+bias-grad over q-major order,
+# dk/dv over k-major order) — the standard flash-bwd decomposition; S is
+# recomputed per pass.
 # ---------------------------------------------------------------------------
 
 MAX_WHOLESEQ_L = 1024
 
 
-def _assemble_bias(tiles_ref, bias_ref, h, qb, n_blocks, n_tiles):
-    def write(kb, _):
-        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
-        bias_ref[:, pl.ds(kb * BLK, BLK)] = tiles_ref[h, slot]
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, write, 0)
-
-
-def _fwd_kernel_long(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
-                     bias_ref, *, seq_len, n_tiles, scale, num_heads,
-                     n_blocks):
-    qb = pl.program_id(1)
+def _chunk_mask(qb, kb, valid_ref, seq_len):
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale                     # [BLK, D]
-    k = k_ref[0].astype(f32)                             # [L, D]
-    v = v_ref[0].astype(f32)
-    D = q.shape[-1]
-    hd = D // num_heads
-    L = k.shape[0]
-    iq = qb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, L), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, L), 1)
-    kv_ok = valid_ref[0] != 0                            # [1, L]
-    m = jnp.logical_and(iq >= ik, kv_ok).astype(f32) / seq_len
-    outs = []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        _assemble_bias(tiles_ref, bias_ref, h, qb, n_blocks, n_tiles)
-        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-        a = jax.nn.silu(s + bias_ref[...]) * m
-        outs.append(jax.lax.dot_general(a, v[:, sl], (((1,), (0,)), ((), ())),
-                                        preferred_element_type=f32))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    iq = qb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    ik = kb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    kv_ok = valid_ref[0] != 0                            # [1, BLK]
+    return jnp.logical_and(iq >= ik, kv_ok).astype(f32) / seq_len
 
 
-def _bwd_kernel_long(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
-                     dq_ref, dk_ref, dv_ref, dtiles_ref,
-                     bias_ref, ds_ref, dk_acc, dv_acc, *,
-                     seq_len, n_tiles, scale, num_heads, n_blocks):
+def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
+                      acc_ref, *, seq_len, n_tiles, scale, num_heads,
+                      n_k_blocks):
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    f32 = jnp.float32
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb <= qb)
+    def _():
+        q = q_ref[0].astype(f32) * scale                 # [BLK, D]
+        k = k_ref[0].astype(f32)                         # [BLK, D]
+        v = v_ref[0].astype(f32)
+        D = q.shape[-1]
+        hd = D // num_heads
+        m = _chunk_mask(qb, kb, valid_ref, seq_len)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            a = jax.nn.silu(s + tiles_ref[h, slot]) * m
+            acc_ref[:, sl] += jax.lax.dot_general(
+                a, v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
+                     dq_ref, dtiles_ref, dq_acc, *,
+                     seq_len, n_tiles, scale, num_heads, n_k_blocks):
     b = pl.program_id(0)
     qb = pl.program_id(1)
+    kb = pl.program_id(2)
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale                     # [BLK, D]
-    do = do_ref[0].astype(f32)                           # [BLK, D]
-    k = k_ref[0].astype(f32)                             # [L, D]
-    v = v_ref[0].astype(f32)
-    D = q.shape[-1]
-    hd = D // num_heads
-    L = k.shape[0]
-    iq = qb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, L), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, L), 1)
-    kv_ok = valid_ref[0] != 0
-    m = jnp.logical_and(iq >= ik, kv_ok).astype(f32) / seq_len
 
-    @pl.when(jnp.logical_and(b == 0, qb == 0))
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(qb == 0, kb == 0)))
     def _():
         dtiles_ref[...] = jnp.zeros_like(dtiles_ref)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(kb <= qb)
+    def _():
+        q = q_ref[0].astype(f32) * scale
+        k = k_ref[0].astype(f32)
+        v = v_ref[0].astype(f32)
+        do = do_ref[0].astype(f32)
+        D = q.shape[-1]
+        hd = D // num_heads
+        m = _chunk_mask(qb, kb, valid_ref, seq_len)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            s = s + tiles_ref[h, slot]
+            da = jax.lax.dot_general(do[:, sl], v[:, sl],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+            ds = da * _dsilu(s) * m                      # [BLK, BLK]
+            dq_acc[:, sl] += jax.lax.dot_general(
+                ds, k[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dtiles_ref[h, slot] += ds
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
+                       dk_ref, dv_ref, dk_acc, dv_acc, *,
+                       seq_len, n_tiles, scale, num_heads, n_q_blocks):
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    f32 = jnp.float32
 
     @pl.when(qb == 0)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    dqs = []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        _assemble_bias(tiles_ref, bias_ref, h, qb, n_blocks, n_tiles)
-        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-        s = s + bias_ref[...]
-        a = jax.nn.silu(s) * m
-        dv_acc[:, sl] += jax.lax.dot_general(
-            a, do[:, sl], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        da = jax.lax.dot_general(do[:, sl], v[:, sl],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)
-        ds = da * _dsilu(s) * m                          # [BLK, L]
-        dqs.append(jax.lax.dot_general(ds, k[:, sl], (((1,), (0,)), ((), ())),
-                                       preferred_element_type=f32))
-        dk_acc[:, sl] += jax.lax.dot_general(
-            ds, q[:, sl], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        ds_ref[...] = ds
+    @pl.when(qb >= kb)
+    def _():
+        q = q_ref[0].astype(f32) * scale
+        k = k_ref[0].astype(f32)
+        v = v_ref[0].astype(f32)
+        do = do_ref[0].astype(f32)
+        D = q.shape[-1]
+        hd = D // num_heads
+        m = _chunk_mask(qb, kb, valid_ref, seq_len)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            s = s + tiles_ref[h, slot]
+            a = jax.nn.silu(s) * m
+            dv_acc[:, sl] += jax.lax.dot_general(
+                a, do[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            da = jax.lax.dot_general(do[:, sl], v[:, sl],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+            ds = da * _dsilu(s) * m
+            dk_acc[:, sl] += jax.lax.dot_general(
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
 
-        def acc(kb, _):
-            slot = jnp.clip(qb - kb, 0, n_tiles - 1)
-            dtiles_ref[h, slot] += ds_ref[:, pl.ds(kb * BLK, BLK)]
-            return 0
-
-        jax.lax.fori_loop(0, jnp.minimum(qb + 1, n_blocks), acc, 0)
-    dq_ref[0] = (jnp.concatenate(dqs, axis=-1) * scale).astype(dq_ref.dtype)
-
-    @pl.when(qb == n_blocks - 1)
+    @pl.when(qb == n_q_blocks - 1)
     def _():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -316,19 +352,19 @@ def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
     nt = tiles.shape[1]
     H = tiles.shape[0]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_long, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_blocks=nq),
-        grid=(B, nq),
+        functools.partial(_fwd_kernel_chunk, seq_len=seq_len, n_tiles=nt,
+                          scale=scale, num_heads=num_heads, n_k_blocks=nq),
+        grid=(B, nq, nq),
         in_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb: (b, qb, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda b, qb, kb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLK, D), lambda b, qb: (b, qb, 0)),
+        out_specs=pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLK, L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, valid3, tiles)
 
@@ -339,36 +375,54 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
     nq = L // BLK
     nt = tiles.shape[1]
     H = tiles.shape[0]
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel_long, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_blocks=nq),
-        grid=(B, nq),
+    dq, dtiles = pl.pallas_call(
+        functools.partial(_dq_kernel_chunk, seq_len=seq_len, n_tiles=nt,
+                          scale=scale, num_heads=num_heads, n_k_blocks=nq),
+        grid=(B, nq, nq),
         in_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb: (b, qb, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb: (b, qb, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda b, qb, kb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb: (b, qb, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((1, L, D), lambda b, qb: (b, 0, 0)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
+            jax.ShapeDtypeStruct((H, nt, BLK, BLK), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, valid3, tiles)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel_chunk, seq_len=seq_len, n_tiles=nt,
+                          scale=scale, num_heads=num_heads, n_q_blocks=nq),
+        grid=(B, nq, nq),
+        in_specs=[
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, qb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, qb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda b, kb, qb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, BLK, BLK), lambda b, kb, qb: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), q.dtype),
             jax.ShapeDtypeStruct((B, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B, L, D), q.dtype),
-            jax.ShapeDtypeStruct((H, nt, BLK, BLK), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((BLK, L), jnp.float32),
-                        pltpu.VMEM((BLK, L), jnp.float32),
-                        pltpu.VMEM((L, D), jnp.float32),
-                        pltpu.VMEM((L, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32),
+                        pltpu.VMEM((BLK, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, valid3, tiles)
+    return dq, dk, dv, dtiles
 
 
 def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,

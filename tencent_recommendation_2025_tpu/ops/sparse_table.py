@@ -36,6 +36,58 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def planned_lookup(rows, idx, perm, starts, ends):
+    """rows[idx] with a host-precomputed segment-sum backward.
+
+    The naive transpose of a duplicate-index gather is a scatter-add, which
+    SERIALIZES on TPU (measured ~60s for 393K colliding rows). Here the host
+    supplies ``perm`` (stable argsort of the flattened idx) and per-slot
+    segment boundaries ``starts``/``ends``; the backward is then
+    gather -> cumsum -> two gathers + subtract — no scatter anywhere:
+
+        x = cot[perm];  c = [0; cumsum(x)];  drows[k] = c[ends[k]] - c[starts[k]]
+    """
+    return jnp.take(rows, jnp.clip(idx, 0, rows.shape[0] - 1), axis=0)
+
+
+def _pl_fwd(rows, idx, perm, starts, ends):
+    return planned_lookup(rows, idx, perm, starts, ends), (idx, perm, starts,
+                                                           ends)
+
+
+def _pl_bwd(res, cot):
+    # gather -> cumsum -> boundary gathers: all measured fast on v5e
+    # (~10-20ms at [393K, 64]); a scatter-add here would serialize
+    idx, perm, starts, ends = res
+    D = cot.shape[-1]
+    x = jnp.take(cot.reshape(-1, D).astype(jnp.float32), perm, axis=0)
+    c = jnp.concatenate([jnp.zeros((1, D), jnp.float32),
+                         jnp.cumsum(x, axis=0)], axis=0)
+    drows = jnp.take(c, ends, axis=0) - jnp.take(c, starts, axis=0)
+    return drows, None, None, None, None
+
+
+planned_lookup.defvjp(_pl_fwd, _pl_bwd)
+
+
+def build_lookup_plan(uids_np, ids_np):
+    """HOST-side plan for one lookup site: positions of ``ids`` in the
+    sorted ``uids`` plus the segment-sum schedule for the backward."""
+    import numpy as np
+
+    uids_np = np.asarray(uids_np)
+    ids_np = np.asarray(ids_np)
+    idx = np.searchsorted(uids_np, ids_np).astype(np.int32)
+    idx = np.minimum(idx, len(uids_np) - 1)
+    flat = idx.reshape(-1)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    counts = np.bincount(flat, minlength=len(uids_np)).astype(np.int32)
+    ends = np.cumsum(counts).astype(np.int32)
+    starts = (ends - counts).astype(np.int32)
+    return {"idx": idx, "perm": perm, "starts": starts, "ends": ends}
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class GatheredRows:
@@ -43,15 +95,21 @@ class GatheredRows:
 
     ``uids`` [K] sorted unique ids (sentinel-padded with the row count);
     ``rows`` [K, D] the gathered embedding rows. ``embedding.masked_take``
-    detects this type and resolves ids by ``searchsorted`` — every model
-    call site works unchanged, and autodiff produces a [K, D] gradient.
+    detects this type and resolves ids against the gathered prefix — every
+    model call site works unchanged, and autodiff produces a [K, D] gradient.
+
+    ``plans`` maps a lookup-site name ("seq"/"posneg"/"pos"/"negs") to a
+    host-precomputed plan (build_lookup_plan): resolved positions plus a
+    scatter-free backward schedule. Sites without a plan fall back to
+    on-device searchsorted + scatter-add backward (fine on CPU, slow on TPU).
     """
 
     uids: jnp.ndarray
     rows: jnp.ndarray
+    plans: dict = dataclasses.field(default_factory=dict)
 
     def tree_flatten(self):
-        return (self.uids, self.rows), None
+        return (self.uids, self.rows, self.plans), None
 
     @classmethod
     def tree_unflatten(cls, _, children):
@@ -61,8 +119,12 @@ class GatheredRows:
     def shape(self):  # row-dim queries (e.g. l2 penalty) see the gathered view
         return self.rows.shape
 
-    def lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+    def lookup(self, ids: jnp.ndarray, site=None) -> jnp.ndarray:
         """rows for ``ids`` [...] -> [..., D]; caller applies padding mask."""
+        plan = self.plans.get(site) if site is not None else None
+        if plan is not None and tuple(plan["idx"].shape) == tuple(ids.shape):
+            return planned_lookup(self.rows, plan["idx"], plan["perm"],
+                                  plan["starts"], plan["ends"])
         idx = jnp.searchsorted(self.uids, ids)
         idx = jnp.clip(idx, 0, self.rows.shape[0] - 1)
         return jnp.take(self.rows, idx, axis=0)
@@ -72,9 +134,27 @@ def unique_touched(ids: jnp.ndarray, capacity: int, vocab_rows: int
                    ) -> jnp.ndarray:
     """Sorted unique ids with static size ``capacity``; padding uses the
     sentinel ``vocab_rows`` (> any real id) so the result stays sorted and
-    sentinel rows scatter out of range (mode='drop')."""
+    sentinel rows scatter out of range (mode='drop').
+
+    NOTE: on-device sort/unique of a few-hundred-K int array measures in the
+    tens of SECONDS on TPU (sort is the pathology, measured 2026-08-17).
+    This function is the jit-side fallback; the product path precomputes the
+    dedup on the HOST in the input pipeline (:func:`host_unique_touched`),
+    where it costs ~10 ms and the prefetcher hides it entirely.
+    """
     return jnp.unique(ids.reshape(-1), size=capacity,
                       fill_value=jnp.asarray(vocab_rows, ids.dtype))
+
+
+def host_unique_touched(ids_np, capacity: int, vocab_rows: int):
+    """Host (numpy) twin of :func:`unique_touched` — run it in the data
+    pipeline and ship ``touched_uids`` with the batch."""
+    import numpy as np
+
+    u = np.unique(np.asarray(ids_np).reshape(-1))
+    out = np.full((capacity,), vocab_rows, dtype=np.int32)
+    out[: min(len(u), capacity)] = u[:capacity]
+    return out
 
 
 def gather_rows(table: jnp.ndarray, uids: jnp.ndarray) -> GatheredRows:

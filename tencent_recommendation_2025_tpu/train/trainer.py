@@ -71,7 +71,8 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                                     rng=rng, mesh=mesh)
         pos_embs = model.item_embeddings(params, batch["pos"],
                                          batch["pos_item_sparse"],
-                                         batch["pos_item_array"], mm_tables)
+                                         batch["pos_item_array"], mm_tables,
+                                         lookup_site="pos")
         n = cfg.train.num_sampled_negatives
         # the sparse-table step pre-samples negatives (their ids must join
         # the touched-row dedup before the loss runs)
@@ -80,7 +81,8 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0, mode="clip")
         neg_array = jnp.take(item_tables["array"], neg_ids, axis=0, mode="clip")
         neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
-                                         neg_array, mm_tables)
+                                         neg_array, mm_tables,
+                                         lookup_site="negs")
         loss_mask = batch["next_token_type"] == 1
         if "sample_valid" in batch:
             loss_mask &= batch["sample_valid"][:, None] > 0
@@ -116,6 +118,53 @@ def _collect_touched_item_ids(batch, cfg: Config):
     else:
         parts.append(batch["neg"].reshape(-1))
     return jnp.concatenate(parts)
+
+
+def sparse_touch_capacity(cfg: Config) -> int:
+    """Static touched-id capacity of one batch (matches
+    _collect_touched_item_ids's concatenation)."""
+    n = 2 * cfg.train.batch_size * (cfg.model.maxlen + 1)
+    if cfg.train.loss_type == "sampled_softmax":
+        return n + cfg.train.num_sampled_negatives
+    return n + cfg.train.batch_size * (cfg.model.maxlen + 1)
+
+
+def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key):
+    """HOST-side sparse-table prep, run in the input pipeline where the
+    prefetcher hides it: samples softmax negatives (numpy) and computes the
+    dedup'd ``touched_uids`` — on-device sort/unique costs tens of seconds
+    on TPU (see ops/sparse_table.unique_touched), numpy ~10 ms."""
+    from ..ops.sparse_table import host_unique_touched
+
+    out = dict(batch)
+    if cfg.train.loss_type == "sampled_softmax" and \
+            "sampled_neg_ids" not in out:
+        r = np.random.default_rng(step_key)
+        out["sampled_neg_ids"] = r.integers(
+            1, itemnum + 1, cfg.train.num_sampled_negatives).astype(np.int32)
+    parts = [np.where(out["token_type"] == 1, out["seq"], 0).reshape(-1),
+             np.asarray(out["pos"]).reshape(-1)]
+    parts.append(np.asarray(
+        out["sampled_neg_ids" if cfg.train.loss_type == "sampled_softmax"
+            else "neg"]).reshape(-1))
+    ids_all = np.concatenate(parts)
+    uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg),
+                               itemnum + 1)
+    out["touched_uids"] = uids
+    # per-site lookup plans: resolved positions + the scatter-free backward
+    # schedule (ops/sparse_table.build_lookup_plan)
+    from ..ops.sparse_table import build_lookup_plan
+
+    plans = {"seq": build_lookup_plan(
+        uids, np.where(out["token_type"] == 1, out["seq"], 0))}
+    if cfg.train.loss_type == "sampled_softmax":
+        plans["pos"] = build_lookup_plan(uids, out["pos"])
+        plans["negs"] = build_lookup_plan(uids, out["sampled_neg_ids"])
+    else:
+        plans["posneg"] = build_lookup_plan(
+            uids, np.concatenate([out["pos"], out["neg"]], axis=0))
+    out["sparse_plans"] = plans
+    return out
 
 
 def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
@@ -161,20 +210,27 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
         dense_params, dense_opt, step_no = dense_state
         rng = jax.random.fold_in(rng, step_no)
         batch = dict(batch)
-        if cfg.train.loss_type == "sampled_softmax":
+        if cfg.train.loss_type == "sampled_softmax" and \
+                "sampled_neg_ids" not in batch:
             rng, neg_rng = jax.random.split(rng)
             batch["sampled_neg_ids"] = jax.random.randint(
                 neg_rng, (cfg.train.num_sampled_negatives,), 1,
                 model.itemnum + 1)
         V = table.shape[0]
-        ids_all = _collect_touched_item_ids(batch, cfg)
-        uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
-                                 vocab_rows=V)
+        plans = batch.pop("sparse_plans", {})
+        if "touched_uids" in batch:
+            # host-precomputed dedup (augment_batch_sparse): the fast path —
+            # device sort/unique is pathologically slow on TPU
+            uids = batch.pop("touched_uids")
+        else:
+            ids_all = _collect_touched_item_ids(batch, cfg)
+            uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
+                                     vocab_rows=V)
         rows0 = ST.gather_rows(table, uids).rows
 
         def loss_fn(dense, rows):
             params = dict(dense)
-            params["item_emb"] = ST.GatheredRows(uids, rows)
+            params["item_emb"] = ST.GatheredRows(uids, rows, plans)
             return compute_loss(model, params, batch, mm_tables, item_tables,
                                 cfg, train=True, rng=rng, mesh=mesh)
 
@@ -331,19 +387,34 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             loss = float(m["loss"])
             gs = rec["global_step"]
             rec["loss"] = loss
+            if "bce" in m:
+                rec["bce"] = float(m["bce"])
             jlog.write(rec)
             tb.scalar("Loss/train", loss, gs)
+            if "bce" in m:
+                # O1's BCE-vs-total split (BaseLineO1/main.py:296-299)
+                tb.scalar("Loss/BCE", float(m["bce"]), gs)
             tb.scalar("Performance/step_time", rec["step_time"], gs)
             tb.scalar("Performance/steps_per_second",
                       rec["steps_per_second"], gs)
             tb.scalar("Performance/examples_per_second_per_chip",
                       rec["steps_per_second"] * cfg.train.batch_size /
                       max(1, jax.device_count()), gs)
+            if cfg.train.sparse_tables and rec["step_time"] > 0:
+                # touched-row gather+scatter payload per step (estimate:
+                # 3 id streams x D x 4B, read+write) over wall step time
+                n_ids = 3 * cfg.train.batch_size * (cfg.model.maxlen + 1)
+                gb = n_ids * cfg.model.hidden_units * 4 * 2 / 1e9
+                tb.scalar("Performance/lookup_gb_s",
+                          gb / rec["step_time"], gs)
             if gs % cfg.train.grad_log_every == 0:
-                # O1 telemetry set (BaseLineO1/main.py:296-314)
+                # O1 telemetry set (BaseLineO1/main.py:296-314): per-group
+                # learning rates (dense params vs sparse-table rows)
                 tb.scalar("Gradient/max", float(m["grad_max"]), gs)
                 tb.scalar("Gradient/mean", float(m["grad_mean"]), gs)
                 tb.scalar("LearningRate/base", cfg.train.lr, gs)
+                if cfg.train.sparse_tables:
+                    tb.scalar("LearningRate/table", cfg.train.lr, gs)
         last_rec, last_m = pending[-1]
         if verbose:
             print(f"  epoch {epoch} step {last_rec['step'] + 1}/"
@@ -353,9 +424,18 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                   f"ETA {T.format_time(last_rec['estimated_remaining_time'])}")
         pending.clear()
 
+    def epoch_batches(epoch):
+        it = train_loader.epoch(epoch)
+        if not cfg.train.sparse_tables:
+            return it
+        # host-side sparse prep (dedup + negatives) rides the prefetch thread
+        return (augment_batch_sparse(b, cfg, model.itemnum,
+                                     (cfg.train.seed, 97, epoch, i))
+                for i, b in enumerate(it))
+
     for epoch in range(1, epochs + 1):
         for step, batch in enumerate(
-                prefetch_to_device(train_loader.epoch(epoch),
+                prefetch_to_device(epoch_batches(epoch),
                                    device_put=put_batch)):
             t0 = time.time()
             state, metrics = train_step(state, batch, mm_tables, tables, rng)

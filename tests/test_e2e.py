@@ -48,6 +48,8 @@ def test_train_retrieve_eval(small_setup, tmp_path):
     assert lines and all(
         k in lines[0] for k in ("global_step", "epoch", "step", "loss",
                                 "step_time", "steps_per_second"))
+    # O1's Loss/BCE split rides along in the JSONL for BCE runs
+    assert "bce" in lines[0]
     # loss must decrease over training — compare per-epoch means (two single
     # steps would be flake-prone)
     epochs = sorted({l["epoch"] for l in lines})

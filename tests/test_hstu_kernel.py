@@ -69,6 +69,36 @@ def test_gradients_match_oracle():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_long_variant_many_tiles(monkeypatch):
+    """Chunked-KV kernels at many k-tiles with multi-tile bias buckets —
+    the L=4096-class shape, interpret-scale (the lowered-cap trick makes
+    every tile boundary and bias slot-clip path fire)."""
+    monkeypatch.setattr(HK, "MAX_WHOLESEQ_L", 128)
+    q, k, v, valid, rab = _inputs(B=2, H=2, L=640, buckets=384, seed=7)
+    L = q.shape[2]
+    out = HK.hstu_attention(q, k, v, valid, rab, seq_len=L, interpret=True)
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=L)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    cot = jnp.asarray(
+        np.random.default_rng(8).standard_normal(q.shape), jnp.float32)
+
+    def f_kernel(q, k, v, rab):
+        return (HK.hstu_attention(q, k, v, valid, rab, seq_len=L,
+                                  interpret=True) * cot).sum()
+
+    def f_oracle(q, k, v, rab):
+        return (HK.hstu_attention_oracle(q, k, v, valid, rab,
+                                         seq_len=L) * cot).sum()
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_long_variant_matches_oracle(monkeypatch):
     """The blocked long-L kernels == oracle (forced via a lowered cap)."""
     monkeypatch.setattr(HK, "MAX_WHOLESEQ_L", 128)  # forces the long path

@@ -162,6 +162,59 @@ def test_sparse_untouched_rows_frozen(small_setup, sparse_setup):
     assert np.abs(final[moved] - init_table[moved]).max() > 0
 
 
+def test_planned_lookup_gradient_matches_scatter_add():
+    """The scatter-free segment-sum backward == the naive scatter-add
+    transpose (host plan vs autodiff of take)."""
+    rng = np.random.default_rng(3)
+    K, N, D = 50, 200, 8
+    rows = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+    idx_np = rng.integers(0, K, (4, 50)).astype(np.int32)  # duplicates
+    uids_np = np.arange(K)
+    plan = ST.build_lookup_plan(uids_np, idx_np)  # uids == identity here
+    cot = jnp.asarray(rng.standard_normal((4, 50, D)), jnp.float32)
+
+    def f_planned(r):
+        return (ST.planned_lookup(r, jnp.asarray(plan["idx"]),
+                                  jnp.asarray(plan["perm"]),
+                                  jnp.asarray(plan["starts"]),
+                                  jnp.asarray(plan["ends"])) * cot).sum()
+
+    def f_naive(r):
+        return (jnp.take(r, jnp.asarray(idx_np), axis=0) * cot).sum()
+
+    g_p = jax.grad(f_planned)(rows)
+    g_n = jax.grad(f_naive)(rows)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_n), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_host_augmented_batch_matches_device_dedup(small_setup, sparse_setup):
+    """The host-precomputed touched_uids path (the fast TPU path — device
+    sort is pathologically slow) must produce the same step as the jit-side
+    jnp.unique fallback."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        augment_batch_sparse, device_tables, init_state, make_optimizer,
+        make_train_step, sparse_touch_capacity)
+
+    _, sparse_cfg = sparse_setup
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, sparse_cfg)
+    aug = augment_batch_sparse(batch, sparse_cfg, model.itemnum, (0, 5))
+    assert aug["touched_uids"].shape == (sparse_touch_capacity(sparse_cfg),)
+    key = jax.random.key(9)
+
+    outs = []
+    for b in (batch, aug):
+        tx = make_optimizer(sparse_cfg)
+        state = init_state(model, tx, sparse_cfg.train.seed, cfg=sparse_cfg)
+        step = make_train_step(model, tx, sparse_cfg)
+        state, m = step(state, jax.device_put(b), tables["mm"], tables, key)
+        outs.append((float(m["loss"]), np.asarray(state.params["item_emb"])))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6, atol=1e-7)
+
+
 def test_rowwise_adagrad_trains(small_setup, sparse_setup):
     from tencent_recommendation_2025_tpu.train.trainer import (
         device_tables, init_state, make_optimizer, make_train_step)
