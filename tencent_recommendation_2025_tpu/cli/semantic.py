@@ -153,15 +153,31 @@ def main(argv=None):
                              num_steps=args.head_steps)
     print(f"decode head final loss: {head['final_loss']:.4f}")
 
-    # 4) self-eval: decode-head retrieval HR on the training pairs
+    # 4) self-eval: decode-head retrieval HR on the training pairs, against
+    # the exact-MIPS baseline over the SAME item embeddings and queries
     k = cfg.retrieval.top_k
-    top = genret_retrieve(head["params"], rq, queries, rqcfg, k=k)
-    hits = np.mean([positives[i] in top[i] for i in range(len(positives))])
-    print(f"generative retrieval HR@{k} (train pairs): {hits:.4f}")
+
+    def hr(top):
+        return float(np.mean([positives[i] in top[i]
+                              for i in range(len(positives))]))
+
+    hits = hr(genret_retrieve(head["params"], rq, queries, rqcfg, k=k))
+    hits_beam = hr(genret_retrieve(head["params"], rq, queries, rqcfg, k=k,
+                                   method="beam", beam_width=32))
+
+    from ..retrieval.mips import retrieve_topk
+
+    mips_top = retrieve_topk(queries, item_reprs[1:],
+                             np.arange(1, data.itemnum + 1), k=k)
+    hits_mips = hr(mips_top)
+    print(f"HR@{k} (train pairs): exact-scored generative {hits:.4f} | "
+          f"beam decode {hits_beam:.4f} | exact MIPS {hits_mips:.4f}")
     with open(out_dir / "semantic_eval.json", "w") as f:
         json.dump({"rq_recon": rq.final_losses["recon"],
                    "codes_used": used,
                    "genret_train_hr": float(hits),
+                   "genret_beam_train_hr": float(hits_beam),
+                   "mips_train_hr": float(hits_mips),
                    "num_pairs": int(len(positives))}, f)
 
 

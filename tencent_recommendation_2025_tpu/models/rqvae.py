@@ -172,9 +172,11 @@ def genret_loss(gparams: Mapping, rq_params: Mapping, query: jnp.ndarray,
 def genret_score_items(gparams: Mapping, rq_params: Mapping,
                        query: jnp.ndarray, item_codes: jnp.ndarray,
                        cfg: RQVAEConfig) -> jnp.ndarray:
-    """Score every candidate item by the log-likelihood of its semantic id
-    under the decode head (flat scoring — beam search arrives with the Pallas
-    decode kernel). query [B, Dq], item_codes [N, L] -> [B, N]."""
+    """Fast approximate scoring: log-likelihood of each item's semantic id
+    with the level context following the ARGMAX code (exact only for items
+    on the dominant beam). query [B, Dq], item_codes [N, L] -> [B, N].
+    Use :func:`genret_score_items_exact` or :func:`genret_beam_decode` for
+    real generative retrieval."""
     codebooks = rq_params["codebooks"]
     B = query.shape[0]
     N = item_codes.shape[0]
@@ -185,10 +187,115 @@ def genret_score_items(gparams: Mapping, rq_params: Mapping,
         lp = jax.nn.log_softmax(logits, axis=-1)
         scores = scores + lp[:, item_codes[:, l]]
         if l + 1 < cfg.num_levels:
-            # expected next context: use the per-item true code embedding is
-            # item-dependent; flat scoring approximates ctx with the argmax
-            # code embedding (exact for the dominant beam).
             best = jnp.argmax(logits, axis=-1)
             prev = jnp.take(codebooks[l], best, axis=0)
             ctx = jnp.concatenate([ctx, prev], axis=-1)
     return scores
+
+
+def genret_score_items_exact(gparams: Mapping, rq_params: Mapping,
+                             query: jnp.ndarray, item_codes: jnp.ndarray,
+                             cfg: RQVAEConfig,
+                             chunk_n: int = 4096) -> jnp.ndarray:
+    """EXACT autoregressive log-likelihood of every candidate's semantic id:
+    each item's level-l context carries the item's OWN previous codes
+    (teacher forcing), not the argmax beam.
+
+    The level head is linear, so its logits split into a query part and a
+    prev-codes part: logits[b, n] = query_b @ Wq + prev_n @ Wp + bias — two
+    small matmuls per level instead of a [B, N, ctx] blowup; only the
+    [B, n_chunk, C] log-softmax materializes, chunked over candidates.
+    query [B, Dq], item_codes [N, L] -> [B, N].
+    """
+    codebooks = rq_params["codebooks"]
+    B, Dq = query.shape
+    N, L = item_codes.shape
+    d = cfg.code_dim
+
+    out = []
+    for s in range(0, N, chunk_n):
+        codes = item_codes[s:s + chunk_n]                  # [n, L]
+        n = codes.shape[0]
+        scores = jnp.zeros((B, n), jnp.float32)
+        prev_feat = jnp.zeros((n, 0), query.dtype)
+        for l in range(cfg.num_levels):
+            w = gparams["heads"][l]["w"]                   # [Dq + l*d, C]
+            bq = query @ w[:Dq] + gparams["heads"][l]["b"]  # [B, C]
+            bp = prev_feat @ w[Dq:]                        # [n, C]
+            logits = bq[:, None, :] + bp[None, :, :]       # [B, n, C]
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            scores = scores + jnp.take_along_axis(
+                lp, jnp.broadcast_to(codes[None, :, l:l + 1],
+                                     (B, n, 1)), axis=-1)[..., 0]
+            if l + 1 < cfg.num_levels:
+                emb = jnp.take(codebooks[l], codes[:, l], axis=0)  # [n, d]
+                prev_feat = jnp.concatenate([prev_feat, emb], axis=-1)
+        out.append(scores)
+    return jnp.concatenate(out, axis=1)
+
+
+def genret_beam_decode(gparams: Mapping, rq_params: Mapping,
+                       query: jnp.ndarray, cfg: RQVAEConfig,
+                       beam_width: int = 10
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-search decode over level-wise codes — real generative retrieval
+    (no candidate corpus needed at decode time).
+
+    query [B, Dq] -> (codes [B, W, L], log-prob scores [B, W]), beams sorted
+    best-first. Static shapes throughout: level 0 takes top-W codes, each
+    later level expands W beams x C codes and re-selects top W.
+    """
+    codebooks = rq_params["codebooks"]
+    B, Dq = query.shape
+    C = cfg.codebook_size
+    W = min(beam_width, C)
+
+    lp0 = jax.nn.log_softmax(linear(gparams["heads"][0], query), axis=-1)
+    scores, code0 = jax.lax.top_k(lp0, W)                  # [B, W]
+    codes = code0[..., None]                               # [B, W, 1]
+    ctx = jnp.concatenate(
+        [jnp.broadcast_to(query[:, None], (B, W, Dq)),
+         jnp.take(codebooks[0], code0, axis=0)], axis=-1)  # [B, W, Dq+d]
+
+    for l in range(1, cfg.num_levels):
+        logits = linear(gparams["heads"][l], ctx)          # [B, W, C]
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        cand = scores[..., None] + lp                      # [B, W, C]
+        scores, flat = jax.lax.top_k(cand.reshape(B, W * C), W)
+        parent = flat // C                                 # [B, W]
+        code = flat % C
+        codes = jnp.concatenate(
+            [jnp.take_along_axis(codes, parent[..., None], axis=1),
+             code[..., None]], axis=-1)
+        if l + 1 < cfg.num_levels:
+            ctx = jnp.concatenate(
+                [jnp.take_along_axis(ctx, parent[..., None], axis=1),
+                 jnp.take(codebooks[l], code, axis=0)], axis=-1)
+    return codes, scores
+
+
+def beam_retrieve(beam_codes, beam_scores, item_codes, k: int = 10):
+    """Map decoded beams back to candidate items (host-side): items whose
+    semantic id equals a beam inherit that beam's score (ties broken by
+    item order); returns [B, k] candidate indices, -1 where beams cover
+    fewer than k items. beam_codes [B, W, L] / item_codes [N, L] numpy."""
+    import numpy as np
+
+    beam_codes = np.asarray(beam_codes)
+    item_codes = np.asarray(item_codes)
+    index = {}
+    for n, c in enumerate(map(tuple, item_codes.tolist())):
+        index.setdefault(c, []).append(n)
+    B, W, L = beam_codes.shape
+    out = np.full((B, k), -1, np.int64)
+    for b in range(B):
+        hits = []
+        for w in range(W):
+            for n in index.get(tuple(beam_codes[b, w].tolist()), []):
+                hits.append(n)
+                if len(hits) >= k:
+                    break
+            if len(hits) >= k:
+                break
+        out[b, :len(hits)] = hits[:k]
+    return out

@@ -110,16 +110,45 @@ def train_genret_head(rq: RQVAEResult, queries: np.ndarray,
 
 
 def genret_retrieve(gp: Dict, rq: RQVAEResult, queries: np.ndarray,
-                    cfg: RQVAEConfig, k: int = 10,
-                    batch: int = 1024) -> np.ndarray:
-    """Top-k item ids per query by decode-head semantic-id log-likelihood."""
+                    cfg: RQVAEConfig, k: int = 10, batch: int = 1024,
+                    method: str = "exact",
+                    beam_width: int = 32) -> np.ndarray:
+    """Top-k item ids per query from the generative decode head.
+
+    method:
+    - "exact": teacher-forced log-likelihood of every candidate's semantic
+      id (genret_score_items_exact) — the gold scoring;
+    - "beam": beam-search decode (no per-candidate scoring; true generative
+      retrieval), beams mapped back to items; slots beams don't cover fill
+      from the exact scorer;
+    - "flat": round-1's argmax-context approximation (kept for comparison).
+    """
     codes = jnp.asarray(rq.semantic_ids[1:], jnp.int32)  # skip padding row
     out = []
-    score = jax.jit(lambda q: R.genret_score_items(gp, rq.params, q, codes,
-                                                   cfg))
+    scorers = {
+        "exact": lambda q: R.genret_score_items_exact(gp, rq.params, q,
+                                                      codes, cfg),
+        "flat": lambda q: R.genret_score_items(gp, rq.params, q, codes, cfg),
+    }
+    score = jax.jit(scorers["exact" if method == "beam" else method])
+    decode = jax.jit(lambda q: R.genret_beam_decode(gp, rq.params, q, cfg,
+                                                    beam_width)) \
+        if method == "beam" else None
     for s in range(0, len(queries), batch):
         q = jnp.asarray(queries[s:s + batch], jnp.float32)
-        sc = score(q)
-        _, idx = jax.lax.top_k(sc, k)
-        out.append(np.asarray(idx) + 1)  # back to 1-based item ids
+        if method == "beam":
+            bc, bs = decode(q)
+            idx = R.beam_retrieve(bc, bs, rq.semantic_ids[1:], k)
+            if (idx < 0).any():  # beams covered < k items: fill by scoring
+                _, fill = jax.lax.top_k(score(q), k)
+                fill = np.asarray(fill)
+                for b, row in enumerate(idx):
+                    missing = row < 0
+                    if missing.any():
+                        pool = [f for f in fill[b] if f not in set(row)]
+                        row[missing] = pool[: missing.sum()]
+        else:
+            _, idx = jax.lax.top_k(score(q), k)
+            idx = np.asarray(idx)
+        out.append(idx + 1)  # back to 1-based item ids
     return np.concatenate(out, axis=0)
