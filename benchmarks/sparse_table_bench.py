@@ -33,7 +33,10 @@ def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
         block_type="hstu", itemnum=itemnum)
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, batch_size=batch, l2_emb=0.0, weight_decay=0.0,
-        sparse_tables=("item_emb",), table_optimizer=table_optimizer))
+        sparse_tables=("item_emb",), table_optimizer=table_optimizer,
+        # bf16 moments halve both storage and the staged update copies —
+        # 10M-row lazy Adam fits one v5e (f32 moments would OOM)
+        table_moments_dtype="bfloat16"))
     rng = np.random.default_rng(0)
     L = maxlen + 1
     b = G._make_batch(rng, batch, L, schema, model.itemnum, model.usernum)
@@ -90,8 +93,8 @@ def main():
 
     configs = [(10_000_000, "lazy_adam")]
     if "--big" in sys.argv:
-        configs += [(50_000_000, "rowwise_adagrad"),
-                    (100_000_000, "rowwise_adagrad")]
+        # single-chip ceiling: table + staged copy must fit 16G HBM
+        configs += [(20_000_000, "rowwise_adagrad")]
     for itemnum, opt in configs:
         try:
             print(json.dumps(bench_config(itemnum, opt)), flush=True)

@@ -76,6 +76,9 @@ class TrainConfig:
     # (model.py:115-117). Currently supports "item_emb".
     sparse_tables: Tuple[str, ...] = ()
     table_optimizer: str = "lazy_adam"  # "lazy_adam" | "rowwise_adagrad"
+    # lazy-Adam moment storage; bf16 halves the moment tables AND the staged
+    # gather+scatter copies (row math still runs f32)
+    table_moments_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -168,9 +168,12 @@ def gather_rows(table: jnp.ndarray, uids: jnp.ndarray) -> GatheredRows:
 # Row-sparse optimizer states + updates
 # ---------------------------------------------------------------------------
 
-def init_table_opt(table: jnp.ndarray, kind: str) -> Dict:
+def init_table_opt(table: jnp.ndarray, kind: str,
+                   moments_dtype="float32") -> Dict:
     if kind == "lazy_adam":
-        return {"mu": jnp.zeros_like(table), "nu": jnp.zeros_like(table)}
+        dt = jnp.dtype(moments_dtype)
+        return {"mu": jnp.zeros_like(table, dtype=dt),
+                "nu": jnp.zeros_like(table, dtype=dt)}
     if kind == "rowwise_adagrad":
         # zeros_like a column slice (not a fresh zeros) so the accumulator
         # inherits the table's row sharding when init runs under jit

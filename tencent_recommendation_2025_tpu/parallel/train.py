@@ -39,7 +39,8 @@ def init_sharded_state(model: SeqRecModel, cfg: Config, mesh: Mesh,
         opt_state = {
             "dense": jax.jit(tx.init)(dense),
             "tables": {n: jax.jit(
-                lambda t: init_table_opt(t, cfg.train.table_optimizer)
+                lambda t: init_table_opt(t, cfg.train.table_optimizer,
+                                         cfg.train.table_moments_dtype)
             )(params[n]) for n in sparse},
         }
     else:

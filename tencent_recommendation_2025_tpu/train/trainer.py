@@ -198,17 +198,17 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    # ---- sparse-table path: TWO dispatches per step ----------------------
-    # Phase 1 (tables READ-ONLY): grads, dense-param update, row math.
-    # Phase 2 (tables DONATED, scatter-only): write the touched rows.
-    # One program doing both would make XLA insert a full [V, D] copy per
-    # gathered-and-scattered table (see ops/sparse_table.compute_row_update).
+    # ---- sparse-table path: ONE jitted step -------------------------------
+    # Gather+scatter of the same donated buffer makes XLA stage a [V, D]
+    # copy per table/moment — a MEMORY tax (~1x table+moments, ~12ms of HBM
+    # time at 10M rows), accepted deliberately: splitting into two dispatches
+    # would hand the [K, D] row tensors across a jit boundary, which the
+    # axon runtime round-trips through the host (measured ~40 s per 100 MB).
+    # Use table_moments_dtype="bfloat16" to offset the memory tax.
     from ..ops import sparse_table as ST
 
-    def phase1(dense_state, table, table_opt, batch, mm_tables, item_tables,
-               rng):
-        dense_params, dense_opt, step_no = dense_state
-        rng = jax.random.fold_in(rng, step_no)
+    def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
+        rng = jax.random.fold_in(rng, state.step)
         batch = dict(batch)
         if cfg.train.loss_type == "sampled_softmax" and \
                 "sampled_neg_ids" not in batch:
@@ -216,6 +216,8 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             batch["sampled_neg_ids"] = jax.random.randint(
                 neg_rng, (cfg.train.num_sampled_negatives,), 1,
                 model.itemnum + 1)
+        table = state.params["item_emb"]
+        table_opt = state.opt_state["tables"]["item_emb"]
         V = table.shape[0]
         plans = batch.pop("sparse_plans", {})
         if "touched_uids" in batch:
@@ -227,6 +229,8 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
                                      vocab_rows=V)
         rows0 = ST.gather_rows(table, uids).rows
+        dense_params = {k: v for k, v in state.params.items()
+                        if k not in sparse}
 
         def loss_fn(dense, rows):
             params = dict(dense)
@@ -236,37 +240,20 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
 
         (loss, metrics), (dgrads, drows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(dense_params, rows0)
-        updates, dense_opt = tx.update(dgrads, dense_opt, dense_params)
+        updates, dense_opt = tx.update(dgrads, state.opt_state["dense"],
+                                       dense_params)
         new_dense = optax.apply_updates(dense_params, updates)
-        new_rows, opt_rows = ST.compute_row_update(
+        new_table, new_topt = ST.apply_row_update(
             table, table_opt, uids, drows, kind=cfg.train.table_optimizer,
-            lr=cfg.train.lr, step=step_no + 1, b1=cfg.train.adam_b1,
+            lr=cfg.train.lr, step=state.step + 1, b1=cfg.train.adam_b1,
             b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
         metrics = _grad_metrics(metrics, dgrads, drows)
-        return ((new_dense, dense_opt, step_no + 1), uids, new_rows,
-                opt_rows, metrics)
-
-    phase1 = jax.jit(phase1, donate_argnums=(0,))
-    phase2 = jax.jit(ST.scatter_row_update, donate_argnums=(0, 1))
-
-    def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
-        dense_params = {k: v for k, v in state.params.items()
-                        if k not in sparse}
-        table = state.params["item_emb"]
-        table_opt = state.opt_state["tables"]["item_emb"]
-        dense_state = (dense_params, state.opt_state["dense"], state.step)
-        dense_state, uids, new_rows, opt_rows, metrics = phase1(
-            dense_state, table, table_opt, batch, mm_tables, item_tables,
-            rng)
-        new_table, new_topt = phase2(table, table_opt, uids, new_rows,
-                                     opt_rows)
-        new_dense, dense_opt, step_no = dense_state
         params = dict(new_dense)
         params["item_emb"] = new_table
         opt_state = {"dense": dense_opt, "tables": {"item_emb": new_topt}}
-        return TrainState(params, opt_state, step_no), metrics
+        return TrainState(params, opt_state, state.step + 1), metrics
 
-    return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model: SeqRecModel, cfg: Config, mesh=None):
@@ -293,7 +280,8 @@ def init_state(model: SeqRecModel, tx, seed: int,
         dense = {k: v for k, v in params.items() if k not in sparse}
         opt_state = {
             "dense": tx.init(dense),
-            "tables": {n: init_table_opt(params[n], cfg.train.table_optimizer)
+            "tables": {n: init_table_opt(params[n], cfg.train.table_optimizer,
+                                         cfg.train.table_moments_dtype)
                        for n in sparse},
         }
     else:
