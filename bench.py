@@ -75,11 +75,35 @@ def main():
     examples_per_s = B * iters / dt
     per_chip = examples_per_s / jax.device_count()
     baseline = BENCH_BASELINE or per_chip
+
+    # MFU from the compiled step's XLA cost analysis (FLOPs exclude the
+    # Pallas kernel bodies — add the attention kernel's analytic FLOPs:
+    # fwd QK+AV 4*Dhd... per (q,k) causal pair per head: 2*hd*2 ops for QK
+    # and AV; backward ~2x fwd)
+    flops = 0.0
+    try:
+        an = step.lower(state, batch, tables["mm"], tables,
+                        key).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        flops = float(an.get("flops", 0.0))
+    except Exception:
+        pass
+    H, hd, blocks = 4, 16, 8
+    pairs = L * (L + 1) / 2 * B
+    attn_flops = pairs * H * (2 * 2 * hd) * blocks * 3  # fwd + ~2x bwd
+    total_flops = flops + attn_flops
+    peak = 197e12 if jax.devices()[0].platform == "tpu" else 197e12
+    step_time = dt / iters
+    mfu = total_flops / step_time / (peak * jax.device_count())
     print(json.dumps({
         "metric": "hstu_flagship_train_examples_per_s_per_chip",
         "value": round(per_chip, 2),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / baseline, 3),
+        "mfu": round(mfu, 4),
+        "step_flops_g": round(total_flops / 1e9, 1),
+        "step_ms": round(step_time * 1000, 1),
     }))
 
 

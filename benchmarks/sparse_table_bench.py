@@ -91,7 +91,10 @@ def main():
     except Exception:
         pass
 
-    configs = [(10_000_000, "lazy_adam")]
+    # rowwise_adagrad is the at-scale optimizer (231 ms/step @10M, 274 @20M
+    # measured on v5e); lazy_adam's staged moment copies are pathological
+    # beyond ~1M rows (129 s/step @8M f32) — small-table/test use only
+    configs = [(10_000_000, "rowwise_adagrad")]
     if "--big" in sys.argv:
         # single-chip ceiling: table + staged copy must fit 16G HBM
         configs += [(20_000_000, "rowwise_adagrad")]
