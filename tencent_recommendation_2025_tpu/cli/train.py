@@ -55,6 +55,8 @@ def get_args(argv=None):
     p.add_argument("--mesh_data", default=None, type=int)
     p.add_argument("--mesh_model", default=None, type=int)
     p.add_argument("--mesh_seq", default=None, type=int)
+    p.add_argument("--mesh_pipe", default=None, type=int)
+    p.add_argument("--pp_microbatches", default=None, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=None, type=int)
     p.add_argument("--loader", default="auto",
@@ -79,10 +81,12 @@ def build_config(args):
                   ("batch_size", "lr", "num_epochs", "l2_emb", "loss_type",
                    "seed") if getattr(args, k) is not None}
     mesh_over = {}
-    for ax in ("data", "model", "seq"):
+    for ax in ("data", "model", "seq", "pipe"):
         v = getattr(args, f"mesh_{ax}")
         if v is not None:
             mesh_over[ax] = v
+    if args.pp_microbatches is not None:
+        mesh_over["pp_microbatches"] = args.pp_microbatches
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, **model_over),
         train=dataclasses.replace(cfg.train, **train_over),
@@ -164,12 +168,13 @@ def main(argv=None):
         print("inference_only: skipping training")
         return None
 
-    # Multi-device: build the (data, model, seq) mesh from the config and run
-    # the sharded path (the reference is single-device only, main.py:32).
+    # Multi-device: build the (pipe, data, model, seq) mesh from the config
+    # and run the sharded path (the reference is single-device, main.py:32).
     mesh = None
-    want = cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
+    want = cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
     if want > 1:
-        if jax.device_count() >= cfg.mesh.model * cfg.mesh.seq and \
+        if jax.device_count() >= \
+                cfg.mesh.pipe * cfg.mesh.model * cfg.mesh.seq and \
                 jax.device_count() > 1:
             from ..parallel.mesh import build_mesh
 

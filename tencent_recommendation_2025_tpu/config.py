@@ -87,13 +87,19 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh axes. data=DP, model=TP, seq=SP. Tables row-shard over
-    (data×model) flattened unless table_axis overrides."""
+    """Device-mesh axes. data=DP, model=TP, seq=SP, pipe=PP. Tables
+    row-shard over (data×model) flattened unless table_axis overrides.
+
+    ``pipe > 1`` runs the encoder blocks as a GPipe schedule over the
+    ``pipe`` axis (parallel/pipeline_parallel.py) with
+    ``pp_microbatches`` microbatches; requires model == seq == 1."""
 
     data: int = 1
     model: int = 1
     seq: int = 1
-    table_shard_axes: Tuple[str, ...] = ("data", "model")
+    pipe: int = 1
+    pp_microbatches: int = 8
+    table_shard_axes: Tuple[str, ...] = ("pipe", "data", "model")
 
 
 @dataclasses.dataclass(frozen=True)

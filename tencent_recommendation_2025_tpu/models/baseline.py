@@ -67,7 +67,8 @@ class SeqRecModel:
     def log2feats(self, params: Mapping, batch: Mapping,
                   mm_tables: Mapping[str, jnp.ndarray],
                   train: bool = False,
-                  rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
+                  rng: Optional[jax.Array] = None, mesh=None,
+                  pp_microbatches: int = 8) -> jnp.ndarray:
         fused_emb = E.fuse_sequence(params, batch, mm_tables, self.fused,
                                     self.schema, self.cfg)
         enc_rng = None
@@ -75,14 +76,15 @@ class SeqRecModel:
             rng, enc_rng = jax.random.split(rng)
         return ENC.encode(params, fused_emb, batch["seq"],
                           batch["token_type"], params["pos_emb"], self.cfg,
-                          train=train, rng=enc_rng, mesh=mesh)
+                          train=train, rng=enc_rng, mesh=mesh,
+                          pp_microbatches=pp_microbatches)
 
     # ---- training forward ---------------------------------------------
     def forward(self, params: Mapping, batch: Mapping,
                 mm_tables: Mapping[str, jnp.ndarray],
                 item_tables: Mapping[str, jnp.ndarray],
                 train: bool = True, rng: Optional[jax.Array] = None,
-                mesh=None
+                mesh=None, pp_microbatches: int = 8
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (log_feats [B,L,D], pos_embs, neg_embs).
 
@@ -91,7 +93,8 @@ class SeqRecModel:
         ``dataset.py:159`` which does dict lookups per position).
         """
         log_feats = self.log2feats(params, batch, mm_tables, train=train,
-                                   rng=rng, mesh=mesh)
+                                   rng=rng, mesh=mesh,
+                                   pp_microbatches=pp_microbatches)
         # pos and neg run through the item tower as ONE batch (fewer, larger
         # gathers/matmuls; the reference runs two separate feat2emb passes,
         # model.py:376-377)
@@ -113,13 +116,13 @@ class SeqRecModel:
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P(*spec)))
 
-            ids = cons(ids, "data", "seq")
-            sparse = cons(sparse, "data", "seq")
-            array = cons(array, "data", "seq")
+            ids = cons(ids, ("pipe", "data"), "seq")
+            sparse = cons(sparse, ("pipe", "data"), "seq")
+            array = cons(array, ("pipe", "data"), "seq")
         both = self.item_embeddings(params, ids, sparse, array, mm_tables,
                                     lookup_site="posneg")
         if mesh is not None:
-            both = cons(both, "data", "seq")
+            both = cons(both, ("pipe", "data"), "seq")
         pos_embs, neg_embs = jnp.split(both, 2, axis=0)
         return log_feats, pos_embs, neg_embs
 
@@ -127,13 +130,13 @@ class SeqRecModel:
                mm_tables: Mapping[str, jnp.ndarray],
                item_tables: Mapping[str, jnp.ndarray],
                train: bool = True, rng: Optional[jax.Array] = None,
-               mesh=None
+               mesh=None, pp_microbatches: int = 8
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(pos_logits, neg_logits, loss_mask) as in reference forward
         (``model.py:373-384``): dot products masked to next-item positions."""
         log_feats, pos_embs, neg_embs = self.forward(
             params, batch, mm_tables, item_tables, train=train, rng=rng,
-            mesh=mesh)
+            mesh=mesh, pp_microbatches=pp_microbatches)
         loss_mask = (batch["next_token_type"] == 1)
         if "sample_valid" in batch:
             loss_mask = jnp.logical_and(loss_mask,

@@ -180,8 +180,13 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
 def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
            token_type: jnp.ndarray, pos_table: jnp.ndarray,
            cfg: ModelConfig, train: bool = False,
-           rng: Optional[jax.Array] = None, mesh=None) -> jnp.ndarray:
-    """fused_emb [B, L, D] (output of embedding.fuse_sequence) -> [B, L, D]."""
+           rng: Optional[jax.Array] = None, mesh=None,
+           pp_microbatches: int = 8) -> jnp.ndarray:
+    """fused_emb [B, L, D] (output of embedding.fuse_sequence) -> [B, L, D].
+
+    With a mesh whose ``pipe`` axis is >1, the block stack runs as a
+    ring-sharded GPipe schedule (parallel/pipeline_parallel.py) over
+    ``pp_microbatches`` microbatches; otherwise a single lax.scan."""
     dtype = jnp.dtype(cfg.dtype)
     B, L, D = fused_emb.shape
     x = fused_emb.astype(dtype) * jnp.asarray(D ** 0.5, dtype)
@@ -199,15 +204,7 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
     block_keys = (jax.random.split(rng, (cfg.num_blocks, 2)) if use_dropout
                   else jnp.zeros((cfg.num_blocks, 2), jnp.uint32))
 
-    mha_core, hstu_core = make_attention_cores(cfg, token_type, mesh)
-    # the dense path needs the [B, L, L] mask; fused/ring cores build their
-    # masking internally from token_type
-    need_dense_mask = (cfg.block_type == "hstu" and hstu_core is None) or \
-        (cfg.block_type != "hstu" and mha_core is None)
-    mask = attention_mask(seq_ids, token_type) if need_dense_mask else None
-
-    def block_body(x, scanned):
-        bp, keys = scanned
+    def run_block(x, bp, keys, mask, mha_core, hstu_core):
         ka = keys[0] if use_dropout else None
         kf = keys[1] if use_dropout else None
         if cfg.block_type == "hstu":
@@ -229,17 +226,57 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
             x = layernorm(_cast_ln(bp["attn_ln"], dtype), x + a)
             f = ffn(bp["ffn"], x, cfg, train, kf)
             x = layernorm(_cast_ln(bp["ffn_ln"], dtype), x + f)
-        return x, None
+        return x
 
-    if cfg.remat_blocks and train:
-        # rematerialize block internals in backward EXCEPT the fused
-        # attention output ("hstu_av", named in models/hstu.py): uvqk/FFN
-        # recompute is one cheap matmul each, but re-running the attention
-        # kernel costs real wall clock; saving av is 16MB/block
-        block_body = jax.checkpoint(
-            block_body,
-            policy=jax.checkpoint_policies.save_only_these_names("hstu_av"))
-    x, _ = jax.lax.scan(block_body, x, (params["blocks"], block_keys))
+    # rematerialize block internals in backward EXCEPT the fused attention
+    # output ("hstu_av", named in models/hstu.py): uvqk/FFN recompute is one
+    # cheap matmul each, but re-running the attention kernel costs real wall
+    # clock; saving av is 16MB/block
+    remat = (lambda f: jax.checkpoint(
+        f, policy=jax.checkpoint_policies.save_only_these_names("hstu_av"))
+        ) if cfg.remat_blocks and train else (lambda f: f)
+
+    if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+        # ring-sharded GPipe: token_type rides the conveyor with the hidden
+        # states so each stage rebuilds its mask / fused-kernel closure from
+        # its resident microbatch
+        from ..parallel.pipeline_parallel import pipelined_scan
+
+        S = mesh.shape["pipe"]
+        assert cfg.num_blocks % S == 0, \
+            f"num_blocks {cfg.num_blocks} not divisible by pipe stages {S}"
+
+        def pp_block_body(act, scanned):
+            bp, keys = scanned
+            xa, tt = act["x"], act["tt"]
+            mha_c, hstu_c = make_attention_cores(cfg, tt, mesh=None)
+            need_mask = (cfg.block_type == "hstu" and hstu_c is None) or \
+                (cfg.block_type != "hstu" and mha_c is None)
+            m = attention_mask(tt, tt) if need_mask else None
+            return {"x": run_block(xa, bp, keys, m, mha_c, hstu_c),
+                    "tt": tt}
+
+        data_axis = "data" if mesh.shape.get("data", 1) > 1 else None
+        out = pipelined_scan(mesh, "pipe", remat(pp_block_body),
+                             (params["blocks"], block_keys),
+                             {"x": x, "tt": token_type},
+                             num_microbatches=pp_microbatches,
+                             data_axis=data_axis)
+        return layernorm(_cast_ln(params["last_ln"], dtype), out["x"])
+
+    mha_core, hstu_core = make_attention_cores(cfg, token_type, mesh)
+    # the dense path needs the [B, L, L] mask; fused/ring cores build their
+    # masking internally from token_type
+    need_dense_mask = (cfg.block_type == "hstu" and hstu_core is None) or \
+        (cfg.block_type != "hstu" and mha_core is None)
+    mask = attention_mask(seq_ids, token_type) if need_dense_mask else None
+
+    def block_body(x, scanned):
+        bp, keys = scanned
+        return run_block(x, bp, keys, mask, mha_core, hstu_core), None
+
+    x, _ = jax.lax.scan(remat(block_body), x,
+                        (params["blocks"], block_keys))
     return layernorm(_cast_ln(params["last_ln"], dtype), x)
 
 

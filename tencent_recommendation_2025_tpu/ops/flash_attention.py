@@ -49,10 +49,13 @@ def _stripe_softmax(s, m):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *,
                 scale: float, num_heads: int, n_blocks: int):
+    # Matmul operands stay in the input dtype (bf16 on the product path)
+    # with f32 accumulation; softmax math runs in f32.
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale                    # [L, D]
-    k = k_ref[0].astype(f32)
-    v = v_ref[0].astype(f32)
+    cdt = q_ref.dtype
+    q = (q_ref[0].astype(f32) * scale).astype(cdt)      # [L, D]
+    k = k_ref[0]
+    v = v_ref[0]
     D = q.shape[-1]
     hd = D // num_heads
     kv_ok = (valid_ref[0] != 0)                         # [1, L]
@@ -68,7 +71,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *,
             s = jax.lax.dot_general(q[qsl, sl], k[:ks, sl],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)
-            p = _stripe_softmax(s, m)
+            p = _stripe_softmax(s, m).astype(cdt)
             outs.append(jax.lax.dot_general(p, v[:ks, sl],
                                             (((1,), (0,)), ((), ())),
                                             preferred_element_type=f32))
@@ -79,10 +82,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                 scale: float, num_heads: int, n_blocks: int):
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale
-    k = k_ref[0].astype(f32)
-    v = v_ref[0].astype(f32)
-    do = do_ref[0].astype(f32)
+    cdt = q_ref.dtype
+    q = (q_ref[0].astype(f32) * scale).astype(cdt)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     D = q.shape[-1]
     hd = D // num_heads
     kv_ok = (valid_ref[0] != 0)
@@ -104,12 +108,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref,
             p = _stripe_softmax(s, m)
             # dv += p^T @ do
             dv_acc[:ks, sl] += jax.lax.dot_general(
-                p, do[qsl, sl], (((0,), (0,)), ((), ())),
+                p.astype(cdt), do[qsl, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             dp = jax.lax.dot_general(do[qsl, sl], v[:ks, sl],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ).astype(cdt)
             dqs.append(jax.lax.dot_general(ds, k[:ks, sl],
                                            (((1,), (0,)), ((), ())),
                                            preferred_element_type=f32))

@@ -25,7 +25,11 @@ count and grid steps:
   inside the unrolled loops. rab's gradient flows back through the precompute
   from the tile-gradients the backward kernel accumulates;
 - backward is ONE kernel producing dq, dk, dv and the bias-tile gradient in
-  a single pass over the stripes (dk/dv accumulate into VMEM scratch).
+  a single pass over the stripes (dk/dv accumulate into VMEM scratch);
+- **matmul operands keep the input dtype** (bf16 on the product path) with
+  f32 accumulation via ``preferred_element_type`` — a Mosaic f32 matmul is
+  a multi-pass MXU operation, several-x slower than single-pass bf16;
+  silu/mask/bias math runs in f32 regardless.
 """
 
 from __future__ import annotations
@@ -107,10 +111,14 @@ def _diag_causal(n_kb):
 def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref, *,
                 seq_len: int, n_tiles: int, scale: float, num_heads: int,
                 n_blocks: int):
+    # Matmul operands stay in the input dtype (bf16 on the product path —
+    # a Mosaic f32 matmul is a multi-pass MXU op, several-x slower) with
+    # f32 accumulation; silu/mask/bias math runs in f32.
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale                    # [L, D]
-    k = k_ref[0].astype(f32)
-    v = v_ref[0].astype(f32)
+    cdt = q_ref.dtype
+    q = (q_ref[0].astype(f32) * scale).astype(cdt)      # [L, D]
+    k = k_ref[0]
+    v = v_ref[0]
     D = q.shape[-1]
     hd = D // num_heads
     kv_ok = (valid_ref[0] != 0)                         # [1, L] (stay 2-D)
@@ -127,7 +135,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref, *,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)  # [BLK, ks]
             s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-            a = jax.nn.silu(s) * m
+            a = (jax.nn.silu(s) * m).astype(cdt)
             outs.append(jax.lax.dot_general(a, v[:ks, sl],
                                             (((1,), (0,)), ((), ())),
                                             preferred_element_type=f32))
@@ -143,10 +151,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
     bias-tile gradients accumulated across the (B,) grid."""
     b = pl.program_id(0)
     f32 = jnp.float32
-    q = q_ref[0].astype(f32) * scale
-    k = k_ref[0].astype(f32)
-    v = v_ref[0].astype(f32)
-    do = do_ref[0].astype(f32)
+    cdt = q_ref.dtype
+    q = (q_ref[0].astype(f32) * scale).astype(cdt)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     D = q.shape[-1]
     hd = D // num_heads
     kv_ok = (valid_ref[0] != 0)                         # [1, L] (stay 2-D)
@@ -170,7 +179,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)
             s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-            a = jax.nn.silu(s) * m
+            a = (jax.nn.silu(s) * m).astype(cdt)
             # dv[:ks] += a^T @ do_blk
             dv_acc[:ks, sl] += jax.lax.dot_general(
                 a, do[qsl, sl], (((0,), (0,)), ((), ())),
@@ -178,12 +187,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
             da = jax.lax.dot_general(do[qsl, sl], v[:ks, sl],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32)
-            ds = da * _dsilu(s) * m                     # [BLK, ks]
-            dqs.append(jax.lax.dot_general(ds, k[:ks, sl],
+            ds = da * _dsilu(s) * m                     # [BLK, ks] f32
+            ds_c = ds.astype(cdt)
+            dqs.append(jax.lax.dot_general(ds_c, k[:ks, sl],
                                            (((1,), (0,)), ((), ())),
                                            preferred_element_type=f32))
             dk_acc[:ks, sl] += jax.lax.dot_general(
-                ds, q[qsl, sl], (((0,), (0,)), ((), ())),
+                ds_c, q[qsl, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             for kb in range(qb + 1):                    # static slots
                 slot = min(qb - kb, n_tiles - 1)
@@ -231,9 +241,10 @@ def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
 
     @pl.when(kb <= qb)
     def _():
-        q = q_ref[0].astype(f32) * scale                 # [BLK, D]
-        k = k_ref[0].astype(f32)                         # [BLK, D]
-        v = v_ref[0].astype(f32)
+        cdt = q_ref.dtype
+        q = (q_ref[0].astype(f32) * scale).astype(cdt)   # [BLK, D]
+        k = k_ref[0]                                     # [BLK, D]
+        v = v_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
         m = _chunk_mask(qb, kb, valid_ref, seq_len)
@@ -243,7 +254,7 @@ def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
             s = jax.lax.dot_general(q[:, sl], k[:, sl],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)
-            a = jax.nn.silu(s + tiles_ref[h, slot]) * m
+            a = (jax.nn.silu(s + tiles_ref[h, slot]) * m).astype(cdt)
             acc_ref[:, sl] += jax.lax.dot_general(
                 a, v[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -271,10 +282,11 @@ def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(kb <= qb)
     def _():
-        q = q_ref[0].astype(f32) * scale
-        k = k_ref[0].astype(f32)
-        v = v_ref[0].astype(f32)
-        do = do_ref[0].astype(f32)
+        cdt = q_ref.dtype
+        q = (q_ref[0].astype(f32) * scale).astype(cdt)
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
         m = _chunk_mask(qb, kb, valid_ref, seq_len)
@@ -288,9 +300,9 @@ def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
             da = jax.lax.dot_general(do[:, sl], v[:, sl],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32)
-            ds = da * _dsilu(s) * m                      # [BLK, BLK]
+            ds = da * _dsilu(s) * m                      # [BLK, BLK] f32
             dq_acc[:, sl] += jax.lax.dot_general(
-                ds, k[:, sl], (((1,), (0,)), ((), ())),
+                ds.astype(cdt), k[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
             dtiles_ref[h, slot] += ds
 
@@ -313,10 +325,11 @@ def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(qb >= kb)
     def _():
-        q = q_ref[0].astype(f32) * scale
-        k = k_ref[0].astype(f32)
-        v = v_ref[0].astype(f32)
-        do = do_ref[0].astype(f32)
+        cdt = q_ref.dtype
+        q = (q_ref[0].astype(f32) * scale).astype(cdt)
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
         m = _chunk_mask(qb, kb, valid_ref, seq_len)
@@ -327,14 +340,14 @@ def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)
             s = s + tiles_ref[h, slot]
-            a = jax.nn.silu(s) * m
+            a = (jax.nn.silu(s) * m).astype(cdt)
             dv_acc[:, sl] += jax.lax.dot_general(
                 a, do[:, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             da = jax.lax.dot_general(do[:, sl], v[:, sl],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32)
-            ds = da * _dsilu(s) * m
+            ds = (da * _dsilu(s) * m).astype(cdt)
             dk_acc[:, sl] += jax.lax.dot_general(
                 ds, q[:, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)

@@ -4,12 +4,15 @@ The reference is single-process single-GPU (SURVEY.md §1 L4); the distributed
 backend here is the XLA runtime itself: one global ``jax.sharding.Mesh`` over
 the pod slice with axes
 
+- ``pipe``  — pipeline parallelism (encoder blocks staged; ring GPipe)
 - ``data``  — data parallelism (batch axis; gradient psum over ICI/DCN)
 - ``model`` — tensor parallelism (tower/attention projections column/row split)
 - ``seq``   — sequence/context parallelism (ring attention over L)
 
-Embedding tables row-shard over the flattened (data, model) axes — every chip
-holds a distinct table shard (the EP analog, parallel/sharded_embedding.py).
+Embedding tables row-shard over the flattened (pipe, data, model) axes —
+every chip holds a distinct table shard (the EP analog,
+parallel/sharded_embedding.py). A size-1 ``pipe`` axis (the default) makes
+every ``pipe``-aware PartitionSpec collapse to the round-1 layout.
 No hand-written transport: collectives are compiled by XLA from sharding
 annotations; multi-host init is one ``jax.distributed.initialize`` call.
 """
@@ -24,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
 
-AXES = ("data", "model", "seq")
+AXES = ("pipe", "data", "model", "seq")
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -39,22 +42,25 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
 def build_mesh(cfg: MeshConfig = MeshConfig(),
                devices: Optional[Sequence] = None) -> Mesh:
-    """Build the (data, model, seq) mesh. If the config doesn't cover all
-    devices, the remainder folds into the data axis."""
+    """Build the (pipe, data, model, seq) mesh. If the config doesn't cover
+    all devices, the remainder folds into the data axis."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    dm, dt, ds = cfg.data, cfg.model, cfg.seq
-    want = dm * dt * ds
+    dp, dm, dt, ds = cfg.pipe, cfg.data, cfg.model, cfg.seq
+    if dp > 1:
+        assert dt == 1 and ds == 1, \
+            "pipe>1 composes with data parallelism only (model=seq=1)"
+    want = dp * dm * dt * ds
     if want != n:
-        assert n % (dt * ds) == 0, \
-            f"{n} devices not divisible by model*seq={dt * ds}"
-        dm = n // (dt * ds)
-    arr = np.asarray(devices).reshape(dm, dt, ds)
+        assert n % (dp * dt * ds) == 0, \
+            f"{n} devices not divisible by pipe*model*seq={dp * dt * ds}"
+        dm = n // (dp * dt * ds)
+    arr = np.asarray(devices).reshape(dp, dm, dt, ds)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), AXES)
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
 
 
 def named(mesh: Mesh, *spec) -> NamedSharding:

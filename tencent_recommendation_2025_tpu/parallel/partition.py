@@ -23,7 +23,7 @@ from typing import Any, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-TABLE_AXES = ("data", "model")
+TABLE_AXES = ("pipe", "data", "model")
 
 # (path regex, PartitionSpec) — first match wins. Paths look like
 # "item_emb", "blocks/3/attn/q/w", "mm_proj/81/w", ...
@@ -53,7 +53,7 @@ PARAM_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 BATCH_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*", P("data")),
+    (r".*", P(("pipe", "data"))),
 )
 
 
@@ -78,9 +78,11 @@ def match_partition_rules(rules, tree) -> Any:
             if re.search(pattern, s):
                 ndim = getattr(leaf, "ndim", 0)
                 # encoder blocks are stacked with a leading [num_blocks] scan
-                # axis (models/encoder.py): rules address the trailing dims
+                # axis (models/encoder.py): rules address the trailing dims;
+                # the leading axis shards over ``pipe`` (a no-op at pipe=1,
+                # the stage slice under pipeline parallelism)
                 if s.startswith("blocks/"):
-                    spec = P(None, *spec)
+                    spec = P("pipe", *spec)
                 # drop axes the leaf doesn't have (e.g. 1-D bias with 2-D rule)
                 return P(*spec[:ndim]) if len(spec) > ndim else spec
         return P()
@@ -135,8 +137,8 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
 
     def spec(leaf):
         if getattr(leaf, "ndim", 1) >= 2:
-            return NamedSharding(mesh, P("data", "seq"))
-        return NamedSharding(mesh, P("data"))
+            return NamedSharding(mesh, P(("pipe", "data"), "seq"))
+        return NamedSharding(mesh, P(("pipe", "data")))
 
     return jax.tree.map(spec, batch)
 

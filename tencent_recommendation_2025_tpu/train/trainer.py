@@ -64,11 +64,12 @@ def device_tables(item_tables: ItemFeatureTables) -> Dict[str, Any]:
 def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                  cfg: Config, train: bool, rng,
                  mesh=None) -> Tuple[jnp.ndarray, Dict]:
+    ppm = cfg.mesh.pp_microbatches
     if cfg.train.loss_type == "sampled_softmax":
         rng, neg_rng = jax.random.split(rng) if rng is not None \
             else (None, jax.random.key(0))
         log_feats = model.log2feats(params, batch, mm_tables, train=train,
-                                    rng=rng, mesh=mesh)
+                                    rng=rng, mesh=mesh, pp_microbatches=ppm)
         pos_embs = model.item_embeddings(params, batch["pos"],
                                          batch["pos_item_sparse"],
                                          batch["pos_item_array"], mm_tables,
@@ -90,7 +91,8 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                                       batch["pos"], loss_mask, model.itemnum)
         return loss, {"loss": loss}
     pos_logits, neg_logits, loss_mask = model.logits(
-        params, batch, mm_tables, item_tables, train=train, rng=rng, mesh=mesh)
+        params, batch, mm_tables, item_tables, train=train, rng=rng,
+        mesh=mesh, pp_microbatches=ppm)
     bce = L.reference_bce_loss(pos_logits, neg_logits, loss_mask)
     loss = bce
     if cfg.train.l2_emb > 0.0:

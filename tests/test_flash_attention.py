@@ -59,3 +59,15 @@ def test_gradients_match_oracle():
     for a, b, name in zip(gk, go, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_bf16_inputs_match_f32_oracle():
+    """bf16 fast path (matmuls in bf16, f32 softmax/accumulation)."""
+    q, k, v, valid = _inputs(B=1, L=256, seed=5)
+    out = FA.flash_mha(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                       v.astype(jnp.bfloat16), valid, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _oracle(q, k, v, valid)
+    a = np.asarray(out, np.float32)
+    b = np.asarray(ref, np.float32)
+    assert float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)) < 3e-2

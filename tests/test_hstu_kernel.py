@@ -125,3 +125,53 @@ def test_long_variant_matches_oracle(monkeypatch):
     for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def _max_rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-6))
+
+
+def test_bf16_inputs_match_f32_oracle():
+    """bf16 inputs take the fast path (matmul operands stay bf16, f32
+    accumulation); output must track the f32 oracle within bf16 rounding."""
+    q, k, v, valid, rab = _inputs(B=1, H=2, L=256, seed=4)
+    L = q.shape[2]
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    out = HK.hstu_attention(qb, kb, vb, valid, rab, seq_len=L,
+                            interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=L)
+    assert _max_rel_err(out, ref) < 3e-2
+
+    cot = jnp.asarray(
+        np.random.default_rng(11).standard_normal(q.shape), jnp.float32)
+
+    def f_kernel(q, k, v, rab):
+        return (HK.hstu_attention(q.astype(jnp.bfloat16),
+                                  k.astype(jnp.bfloat16),
+                                  v.astype(jnp.bfloat16), valid, rab,
+                                  seq_len=L, interpret=True)
+                .astype(jnp.float32) * cot).sum()
+
+    def f_oracle(q, k, v, rab):
+        return (HK.hstu_attention_oracle(q, k, v, valid, rab,
+                                         seq_len=L) * cot).sum()
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
+        assert _max_rel_err(a, b) < 5e-2, name
+
+
+def test_bf16_long_variant(monkeypatch):
+    """Chunked-KV path under bf16 inputs (cap lowered to route L=512)."""
+    monkeypatch.setattr(HK, "MAX_WHOLESEQ_L", 256)
+    q, k, v, valid, rab = _inputs(B=1, H=2, L=512, seed=5)
+    L = q.shape[2]
+    out = HK.hstu_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                            v.astype(jnp.bfloat16), valid, rab, seq_len=L,
+                            interpret=True)
+    ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=L)
+    assert _max_rel_err(out, ref) < 3e-2

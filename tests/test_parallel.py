@@ -174,10 +174,11 @@ def test_partition_rules_cover_model(small_setup, mesh8):
     params = small_setup["model"].init(jax.random.key(0))
     shardings = partition.param_shardings(mesh8, params)
     # tables row-sharded, pos table replicated, dnn column-split
-    assert shardings["item_emb"].spec == P(("data", "model"), None)
+    assert shardings["item_emb"].spec == P(("pipe", "data", "model"), None)
     assert shardings["pos_emb"].spec == P()
     assert shardings["itemdnn"]["w"].spec == P(None, "model")
-    assert shardings["blocks"]["attn"]["o"]["w"].spec == P(None, "model", None)
+    assert shardings["blocks"]["attn"]["o"]["w"].spec == \
+        P("pipe", "model", None)
     # every leaf got a sharding
     assert len(jax.tree.leaves(shardings, is_leaf=lambda x: isinstance(
         x, NamedSharding))) == len(jax.tree.leaves(params))

@@ -1,4 +1,4 @@
-"""GPipe-style pipeline parallelism == sequential scan (fake 4-stage mesh)."""
+"""Ring-sharded GPipe == sequential scan (fake multi-stage meshes)."""
 
 import jax
 import jax.numpy as jnp
@@ -13,29 +13,73 @@ requires_8 = pytest.mark.skipif(jax.device_count() < 8,
                                 reason="needs 8 fake devices")
 
 
-@requires_8
-def test_pipeline_matches_sequential():
-    # 4-stage mesh over a dedicated axis
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("stage",))
-    rng = np.random.default_rng(0)
-    NB, B, D = 8, 16, 32
+def _blocks_and_x(NB, B, D, seed=0):
+    rng = np.random.default_rng(seed)
     blocks = {"w": jnp.asarray(rng.standard_normal((NB, D, D)) * 0.1,
                                jnp.float32),
               "b": jnp.asarray(rng.standard_normal((NB, D)) * 0.1,
                                jnp.float32)}
     x = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    return blocks, x
+
+
+def _seq_oracle(block_fn, blocks, x):
+    def body(a, bp):
+        return block_fn(a, bp), None
+
+    out, _ = jax.lax.scan(body, x, blocks)
+    return out
+
+
+@requires_8
+def test_pipeline_matches_sequential():
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("stage",))
+    blocks, x = _blocks_and_x(NB=8, B=16, D=32)
 
     def block_fn(a, bp):
         return jnp.tanh(a @ bp["w"] + bp["b"])
 
-    # sequential oracle
-    def body(a, bp):
-        return block_fn(a, bp), None
-
-    ref, _ = jax.lax.scan(body, x, blocks)
-
+    ref = _seq_oracle(block_fn, blocks, x)
     out = pipelined_scan(mesh, "stage", block_fn, blocks, x,
                          num_microbatches=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+@requires_8
+def test_pipeline_pytree_activation():
+    """Side inputs (e.g. token masks) ride the conveyor unchanged."""
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("stage",))
+    blocks, x = _blocks_and_x(NB=4, B=8, D=16, seed=2)
+    tt = jnp.asarray(np.random.default_rng(3).integers(0, 2, (8, 16)),
+                     jnp.int32)
+
+    def block_fn(act, bp):
+        m = (act["tt"] != 0).astype(jnp.float32)
+        return {"x": jnp.tanh(act["x"] @ bp["w"] + bp["b"]) * m,
+                "tt": act["tt"]}
+
+    ref = _seq_oracle(block_fn, blocks, {"x": x, "tt": tt})
+    out = pipelined_scan(mesh, "stage", block_fn, blocks,
+                         {"x": x, "tt": tt}, num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["tt"]), np.asarray(tt))
+
+
+@requires_8
+def test_pipeline_composes_with_data_axis():
+    """pipe=2 x data=2: each data column pipelines its own batch slice."""
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("pipe", "data"))
+    blocks, x = _blocks_and_x(NB=4, B=16, D=32, seed=4)
+
+    def block_fn(a, bp):
+        return jnp.tanh(a @ bp["w"] + bp["b"])
+
+    ref = _seq_oracle(block_fn, blocks, x)
+    out = pipelined_scan(mesh, "pipe", block_fn, blocks, x,
+                         num_microbatches=4, data_axis="data")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
 
@@ -57,13 +101,33 @@ def test_pipeline_gradients_flow():
                               num_microbatches=4).sum()
 
     def loss_seq(blocks):
-        def body(a, bp):
-            return block_fn(a, bp), None
-
-        out, _ = jax.lax.scan(body, x, blocks)
-        return out.sum()
+        return _seq_oracle(block_fn, blocks, x).sum()
 
     g_pp = jax.grad(loss_pp)(blocks)
     g_seq = jax.grad(loss_seq)(blocks)
     np.testing.assert_allclose(np.asarray(g_pp["w"]), np.asarray(g_seq["w"]),
                                rtol=1e-4, atol=1e-6)
+
+
+@requires_8
+def test_encoder_pipe_mesh_matches_single(small_setup):
+    """encode() on a pipe=2 mesh == encode() single-device (product PP path)."""
+    from tencent_recommendation_2025_tpu.models import encoder as ENC
+
+    model = small_setup["model"]
+    cfg = model.cfg
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(5)
+    B, L, D = 4, cfg.maxlen + 1, cfg.hidden_units
+    fused_emb = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    seq_ids = jnp.asarray(rng.integers(0, 50, (B, L)), jnp.int32)
+    tt = jnp.asarray(rng.integers(0, 2, (B, L)), jnp.int32)
+
+    ref = ENC.encode(params, fused_emb, seq_ids, tt, params["pos_emb"],
+                     cfg, train=False)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                ("data", "pipe"))
+    out = ENC.encode(params, fused_emb, seq_ids, tt, params["pos_emb"],
+                     cfg, train=False, mesh=mesh, pp_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
