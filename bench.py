@@ -47,7 +47,7 @@ def main():
 
     B, L = 128, 1024
     cfg, schema, fused, model = G._make_synthetic_setup(
-        maxlen=L - 1, hidden=64, num_blocks=8, num_heads=4,
+        maxlen=L - 1, hidden=64, num_blocks=8, num_heads=1,
         block_type="hstu", itemnum=100_000, usernum=10_000)
     rng = np.random.default_rng(0)
     batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum)
@@ -89,7 +89,7 @@ def main():
         flops = float(an.get("flops", 0.0))
     except Exception:
         pass
-    H, hd, blocks = 4, 16, 8
+    H, hd, blocks = 1, 64, 8
     pairs = L * (L + 1) / 2 * B
     attn_flops = pairs * H * (2 * 2 * hd) * blocks * 3  # fwd + ~2x bwd
     total_flops = flops + attn_flops

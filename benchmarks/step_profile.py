@@ -72,9 +72,10 @@ def main():
     from tencent_recommendation_2025_tpu.train.trainer import (
         compute_loss, init_state, make_optimizer, make_train_step)
 
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     B, L = 128, 1024
     cfg, schema, fused, model = G._make_synthetic_setup(
-        maxlen=L - 1, hidden=64, num_blocks=8, num_heads=4,
+        maxlen=L - 1, hidden=64, num_blocks=8, num_heads=H,
         block_type="hstu", itemnum=100_000, usernum=10_000)
     rng = np.random.default_rng(0)
     batch = jax.device_put(G._make_batch(rng, B, L, schema, model.itemnum,
@@ -88,7 +89,9 @@ def main():
 
     # ---- full step (non-donated so we can reuse state) ----
     step = make_train_step(model, tx, cfg)
-    s2 = jax.device_put(state)  # sacrificial copy for the donated step
+    # sacrificial DEEP copy for the donated step (device_put of an
+    # already-committed array aliases, and donation would delete `state`)
+    s2 = jax.tree.map(jnp.copy, state)
     for _ in range(3):
         s2, metrics = step(s2, batch, tables["mm"], tables, key)
     jax.block_until_ready(metrics["loss"])
@@ -150,14 +153,14 @@ def main():
 
     qkv = jnp.asarray(rng.standard_normal((3, B, L, 64)), jnp.bfloat16)
     valid = jnp.asarray(np.ones((B, L)), jnp.int32)
-    rab = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+    rab = jnp.asarray(rng.standard_normal((H, 128)), jnp.float32)
 
     @jax.jit
     def attn_fwd(qkv, rab):
         o = qkv[0]
         for _ in range(8):
             o = hstu_attention_packed(o, qkv[1], qkv[2], valid, rab,
-                                      seq_len=L, num_heads=4)
+                                      seq_len=L, num_heads=H)
         return o.sum()
 
     results["attn_fwd_x8"] = timeit(attn_fwd, (qkv, rab))
@@ -168,7 +171,7 @@ def main():
             o = q
             for _ in range(8):
                 o = hstu_attention_packed(o, k, v, valid, r, seq_len=L,
-                                          num_heads=4)
+                                          num_heads=H)
             return o.astype(jnp.float32).sum()
         g = jax.grad(f, argnums=(0, 3))(qkv[0], qkv[1], qkv[2], rab)
         return g[0].astype(jnp.float32).sum() + g[1].sum()

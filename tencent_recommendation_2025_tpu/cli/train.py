@@ -60,10 +60,12 @@ def get_args(argv=None):
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=None, type=int)
     p.add_argument("--loader", default="auto",
-                   choices=["auto", "cached", "streaming"],
-                   help="cached: pack all users once, vectorized negatives "
-                        "(fast, needs RAM); streaming: threaded per-epoch "
-                        "sampling; auto: cached below 2M users")
+                   choices=["auto", "native", "cached", "streaming"],
+                   help="native: C++ dataprep_tool packs users to disk "
+                        "(threaded, reusable across runs); cached: python "
+                        "pack, vectorized negatives; streaming: threaded "
+                        "per-epoch sampling; auto: native when the tool "
+                        "builds, else cached, below 2M users")
     return p.parse_args(argv)
 
 
@@ -134,12 +136,31 @@ def main(argv=None):
                                      cfg.train.valid_fraction,
                                      cfg.train.seed)
     import jax
-    use_cached = args.loader == "cached" or \
+    use_cached = args.loader in ("cached", "native") or \
         (args.loader == "auto" and len(sampler) <= 2_000_000)
     if use_cached:
         from ..data.cached_dataset import CachedTrainLoader, PackedCache
 
-        cache = PackedCache(sampler, num_workers=args.num_workers)
+        cache = None
+        if args.loader != "cached":
+            # native C++ pack (auto falls back to python if make fails)
+            from ..data import native_pack as NP
+
+            if NP.tool_path() is not None:
+                # data path may be read-only; stage the cache next to ckpts
+                cache_dir = Path(env.train_ckpt_path or ".") \
+                    / f"packed_cache_maxlen{cfg.model.maxlen}"
+                try:
+                    cache = NP.build_packed_cache_native(
+                        sampler, cache_dir, threads=args.num_workers)
+                    print(f"native dataprep cache at {cache_dir}")
+                except Exception as e:
+                    if args.loader == "native":
+                        raise
+                    print(f"native dataprep unavailable ({e}); "
+                          "falling back to python pack")
+        if cache is None:
+            cache = PackedCache(sampler, num_workers=args.num_workers)
         train_loader = CachedTrainLoader(cache, tr_idx, cfg.train.batch_size,
                                          seed=cfg.train.seed,
                                          host_id=jax.process_index(),

@@ -165,10 +165,15 @@ def hstu_mini() -> Config:
 
 
 def hstu_flagship() -> Config:
-    """BASELINE.json configs[1]: BaseLineO1 HSTU, 8 blocks, seq 1024, 1 chip."""
+    """BASELINE.json configs[1]: BaseLineO1 HSTU, 8 blocks, seq 1024, 1 chip.
+
+    num_heads=1 matches the reference O1 default (BaseLineO1/main.py:45) and
+    is the fast configuration on TPU: attention FLOPs scale with D = H*hd,
+    so fewer/wider heads do identical work at ~4x the MXU contraction
+    efficiency (hd=64 vs hd=16 against the 128-lane systolic array)."""
     return Config(
         model=ModelConfig(
-            hidden_units=64, num_blocks=8, num_heads=4, maxlen=1024,
+            hidden_units=64, num_blocks=8, num_heads=1, maxlen=1024,
             block_type="hstu", ffn_type="swiglu", reference_init=False,
             # remat ON wins on-chip: saving per-block FFN/uvqk residuals
             # costs more HBM traffic than recomputing them (measured

@@ -1,0 +1,122 @@
+"""Native (C++) data-prep: seq.jsonl -> packed train arrays on disk.
+
+``native/dataprep/dataprep_tool.cc`` is the threaded counterpart of the
+Python :class:`~.cached_dataset.PackedCache` builder: it parses one user per
+jsonl line in parallel and pwrites the fixed sample fields
+(reference semantics, ``model/BaseLine/dataset.py:96-169``) as raw int32
+arrays plus a CSR of each user's seen-item set. This moves the documented
+host-side bottleneck (the reference re-runs python ``__getitem__`` per epoch;
+even the cached builder costs minutes of python at millions of users) into
+native code that scales with cores, and the on-disk layout makes the cache
+reusable across runs.
+
+The Python side writes the schema manifest, invokes the tool (building it
+with make on first use, like retrieval/ann), and loads the result into a
+PackedCache — so training code downstream is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from . import schema as S
+from .cached_dataset import PackedCache
+from .dataset import TrainSampler
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native" / "dataprep"
+
+
+def tool_path(build: bool = True) -> Optional[Path]:
+    """Return the dataprep binary path, building it with make if needed."""
+    exe = _NATIVE_DIR / "dataprep_tool"
+    if exe.exists():
+        return exe
+    if not build or shutil.which("make") is None:
+        return None
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    return exe if exe.exists() else None
+
+
+def write_schema_manifest(schema, path: Path) -> None:
+    path.write_text(json.dumps({
+        "user_sparse": list(S.USER_SPARSE_IDS),
+        "item_sparse": list(S.ITEM_SPARSE_IDS),
+        "user_array": list(S.USER_ARRAY_IDS),
+        "item_array": list(S.ITEM_ARRAY_IDS),
+        "array_cap": schema.array_cap,
+    }))
+
+
+def run_native_pack(seq_jsonl: Path, out_dir: Path, schema, maxlen: int,
+                    threads: int = 16) -> Path:
+    """Run the C++ tool; returns out_dir. Raises if the tool is unavailable."""
+    exe = tool_path()
+    if exe is None:
+        raise RuntimeError("dataprep_tool unavailable (make failed?)")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest = out_dir / "schema.json"
+    write_schema_manifest(schema, manifest)
+    subprocess.run([str(exe), "--seq", str(seq_jsonl), "--schema",
+                    str(manifest), "--out", str(out_dir), "--maxlen",
+                    str(maxlen), "--threads", str(threads)], check=True,
+                   capture_output=True)
+    return out_dir
+
+
+def load_native_cache(cache_dir: Path, sampler: TrainSampler) -> PackedCache:
+    """Load a dataprep_tool output dir into a PackedCache (no python
+    per-user sampling; negatives stay dynamic per epoch as usual)."""
+    cache_dir = Path(cache_dir)
+    meta = json.loads((cache_dir / "meta.json").read_text())
+    U, L, cap = meta["num_users"], meta["L"], meta["array_cap"]
+    nis, nia = meta["nis"], meta["nia"]
+    nus, nua = meta["nus"], meta["nua"]
+    assert L == sampler.maxlen + 1, \
+        f"cache L={L} != sampler maxlen+1={sampler.maxlen + 1}"
+
+    shapes = {
+        "seq": (L,), "pos": (L,), "token_type": (L,),
+        "next_token_type": (L,), "next_action_type": (L,),
+        "seq_item_sparse": (L, nis), "seq_item_array": (L, nia, cap),
+        "seq_user_sparse": (L, nus), "seq_user_array": (L, nua, cap),
+        "pos_item_sparse": (L, nis), "pos_item_array": (L, nia, cap),
+    }
+    self = PackedCache.__new__(PackedCache)
+    self.sampler = sampler
+    self.fields = {}
+    for name, shape in shapes.items():
+        arr = np.fromfile(cache_dir / f"{name}.bin", dtype=np.int32)
+        self.fields[name] = arr.reshape((U, *shape))
+
+    vals = np.fromfile(cache_dir / "seen_values.bin", dtype=np.int32)
+    offs = np.fromfile(cache_dir / "seen_offsets.bin", dtype=np.int64)
+    assert len(offs) == U + 1 and offs[-1] == len(vals)
+    self.hash_size = 1 << 13
+    self.seen_hash = np.zeros((U, self.hash_size), dtype=bool)
+    rows = np.repeat(np.arange(U), np.diff(offs))
+    self.seen_hash[rows, vals % self.hash_size] = True
+    self.seen_sets = [frozenset(vals[offs[u]:offs[u + 1]].tolist())
+                      for u in range(U)]
+    self.neg_ok = sampler._neg_ok.copy()
+    self.valid_ids = np.nonzero(self.neg_ok)[0]
+    self.itemnum = sampler.itemnum
+    return self
+
+
+def build_packed_cache_native(sampler: TrainSampler, cache_dir: Path,
+                              threads: int = 16) -> PackedCache:
+    """One-call native path: pack with the C++ tool, load as a PackedCache."""
+    run_native_pack(sampler.data.seq.jsonl_path, cache_dir, sampler.schema,
+                    sampler.maxlen, threads=threads)
+    return load_native_cache(cache_dir, sampler)
