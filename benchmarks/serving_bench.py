@@ -1,0 +1,104 @@
+"""Serving-path throughput on the real chip: corpus encode + exact MIPS.
+
+The reference's serving path is encode-then-FAISS
+(``model/BaseLine/infer.py:188-225``); here the corpus encode is the jitted
+item tower (``models/baseline.py::encode_items``) and retrieval is on-device
+blocked exact MIPS (``retrieval/mips.py``). Prints one JSON line per stage.
+
+Axon discipline: iteration loops run inside one jit where possible and only
+scalars are fetched (BASELINE.md measurement-trap note).
+"""
+
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache = Path(__file__).resolve().parents[1] / ".jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import __graft_entry__ as G
+    from tencent_recommendation_2025_tpu.retrieval import mips as MIPS
+
+    N_ITEMS = 200_000
+    cfg, schema, fused, model = G._make_synthetic_setup(
+        maxlen=1023, hidden=64, num_blocks=8, num_heads=1,
+        block_type="hstu", itemnum=N_ITEMS, usernum=10_000)
+    rng = np.random.default_rng(0)
+    tables = G._make_tables(rng, model.itemnum, schema)
+    params = model.init(jax.random.key(0))
+
+    # ---- corpus encode: the item tower over all items, batched ----------
+    EB = 8192
+    ids_all = np.arange(1, N_ITEMS + 1, dtype=np.int32)
+    pad = (-len(ids_all)) % EB
+    ids_all = np.concatenate([ids_all, np.zeros(pad, np.int32)])
+    n_batches = len(ids_all) // EB
+    ids_dev = jnp.asarray(ids_all.reshape(n_batches, EB))
+
+    @jax.jit
+    def encode_all(params, ids_dev):
+        def body(c, ids):
+            sp = jnp.take(tables["sparse"], ids, axis=0, mode="clip")
+            ar = jnp.take(tables["array"], ids, axis=0, mode="clip")
+            emb = model.encode_items(params, ids, sp, ar, tables["mm"])
+            return c + emb.astype(jnp.float32).sum(), emb
+
+        s, embs = jax.lax.scan(body, jnp.float32(0), ids_dev)
+        return s, embs.reshape(-1, embs.shape[-1])
+
+    for _ in range(2):
+        chk, corpus = encode_all(params, ids_dev)
+    float(chk)
+    t0 = time.perf_counter()
+    chk, corpus = encode_all(params, ids_dev)
+    float(chk)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"bench": "corpus_encode", "items": N_ITEMS,
+                      "items_per_s": round(N_ITEMS / dt),
+                      "ms": round(dt * 1000, 1)}), flush=True)
+
+    # ---- exact MIPS top-10 over the corpus ------------------------------
+    Q = 2048
+    queries = jnp.asarray(
+        rng.standard_normal((Q, corpus.shape[-1])).astype(np.float32))
+
+    @partial(jax.jit, static_argnums=2)
+    def run_mips(queries, corpus, iters):
+        def body(c, _):
+            scores, idx = MIPS.topk_mips(queries + c * 0.0, corpus, k=10)
+            return scores.max(), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return s
+
+    float(run_mips(queries, corpus, 2))
+    for iters in (2, 10):
+        t0 = time.perf_counter()
+        float(run_mips(queries, corpus, iters))
+        dt_i = time.perf_counter() - t0
+        if iters == 2:
+            dt2 = dt_i
+    per_call = (dt_i - dt2) / 8
+    qps = Q / per_call
+    print(json.dumps({"bench": "exact_mips_top10", "corpus": N_ITEMS,
+                      "queries": Q, "ms_per_batch": round(per_call * 1000, 2),
+                      "queries_per_s": round(qps)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,42 +46,61 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 128
 
 
-def _n_near(buckets: int) -> int:
+def _n_near(buckets: int, blk: int = BLK) -> int:
     """Number of sub-diagonal block slots whose bias tile is non-constant.
 
-    Capped at 8 slots; configs needing more (buckets > 7*BLK + 2) would
+    Capped at 8 slots; configs needing more (buckets > 7*blk + 2) would
     silently substitute the far-constant tile for mid-range distances, so
     they fail loudly here instead.
     """
-    needed = (buckets - 2 + BLK - 1) // BLK + 1
+    needed = (buckets - 2 + blk - 1) // blk + 1
     if needed > 8:
         raise ValueError(
             f"hstu_rel_pos_buckets={buckets} needs {needed} non-constant "
             f"bias tile slots but the kernel supports at most 8 "
-            f"(buckets <= {7 * BLK + 2}); use fewer buckets or the dense "
+            f"(buckets <= {7 * blk + 2}); use fewer buckets or the dense "
             f"XLA path")
     return needed
 
 
-def _bias_tiles(rab: jnp.ndarray) -> jnp.ndarray:
-    """rab [H, buckets] -> tiles [H, n_near+1, BLK, BLK].
+def _bias_tiles(rab: jnp.ndarray, blk: int = BLK) -> jnp.ndarray:
+    """rab [H, buckets] -> tiles [H, n_near+1, blk, blk].
 
     Slot s < n_near: Toeplitz tile for block-diagonal offset s; the last slot
     is the constant far tile (all distances clipped to buckets-1).
     Differentiable XLA precompute; tiny (3 tiles for buckets=128).
     """
     H, buckets = rab.shape
-    nn = _n_near(buckets)
-    iq = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    nn = _n_near(buckets, blk)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     tiles = []
     for s in range(nn):
-        dist = jnp.clip(s * BLK + iq - ik, 0, buckets - 1)
-        tiles.append(jnp.take(rab, dist, axis=1))      # [H, BLK, BLK]
+        dist = jnp.clip(s * blk + iq - ik, 0, buckets - 1)
+        tiles.append(jnp.take(rab, dist, axis=1))      # [H, blk, blk]
     far = jnp.broadcast_to(rab[:, buckets - 1][:, None, None],
-                           (H, BLK, BLK))
+                           (H, blk, blk))
     tiles.append(far)
     return jnp.stack(tiles, axis=1)
+
+
+def _chunk_blk(L: int, H: int, buckets: int) -> int:
+    """Block size for the chunked-KV variant: 256 when it divides L and the
+    in-VMEM bias-tile stack (plus the dq kernel's accumulated tile
+    gradients, both [H, nt, blk, blk] f32) fits, else 128.
+
+    256 measured 3.5x faster than 128 at L=4096 (6.0 vs 20.8 ms fwd+bwd,
+    B=32, H=1 — 4x fewer grid steps, MXU-shaped [256, hd] x [hd, 256]
+    matmuls). 512 measured 19x SLOWER than 256 (116 ms): the [blk, blk] f32
+    intermediates (s/da/ds/mask ~1MB each) blow vector-register budget and
+    Mosaic spills — don't raise this without re-measuring."""
+    for blk in (256, 128):
+        if L % blk != 0:
+            continue
+        nt = _n_near(buckets, blk) + 1
+        if 2 * H * nt * blk * blk * 4 <= 8 * 1024 * 1024:
+            return blk
+    return BLK
 
 
 def _dsilu(s):
@@ -222,9 +241,10 @@ MAX_WHOLESEQ_L = 1024
 
 def _chunk_mask(qb, kb, valid_ref, seq_len):
     f32 = jnp.float32
-    iq = qb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    ik = kb * BLK + jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-    kv_ok = valid_ref[0] != 0                            # [1, BLK]
+    blk = valid_ref.shape[-1]  # chunk block size (from the block spec)
+    iq = qb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    ik = kb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    kv_ok = valid_ref[0] != 0                            # [1, blk]
     return jnp.logical_and(iq >= ik, kv_ok).astype(f32) / seq_len
 
 
@@ -361,7 +381,8 @@ def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
                      interpret):
     B, L, D = q.shape
-    nq = L // BLK
+    blk = tiles.shape[-1]  # chunk block size (tiles built at _chunk_blk)
+    nq = L // blk
     nt = tiles.shape[1]
     H = tiles.shape[0]
     return pl.pallas_call(
@@ -369,15 +390,15 @@ def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
                           scale=scale, num_heads=num_heads, n_k_blocks=nq),
         grid=(B, nq, nq),
         in_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda b, qb, kb: (b, 0, kb)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, 1, blk), lambda b, qb, kb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, blk, blk), lambda b, qb, kb: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
+        out_specs=pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, valid3, tiles)
 
@@ -385,7 +406,8 @@ def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
 def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
                      interpret):
     B, L, D = q.shape
-    nq = L // BLK
+    blk = tiles.shape[-1]
+    nq = L // blk
     nt = tiles.shape[1]
     H = tiles.shape[0]
     dq, dtiles = pl.pallas_call(
@@ -393,22 +415,22 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
                           scale=scale, num_heads=num_heads, n_k_blocks=nq),
         grid=(B, nq, nq),
         in_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda b, qb, kb: (b, 0, kb)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((1, 1, blk), lambda b, qb, kb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, blk, blk), lambda b, qb, kb: (0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, qb, kb: (b, qb, 0)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, qb, kb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
+            pl.BlockSpec((H, nt, blk, blk), lambda b, qb, kb: (0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), q.dtype),
-            jax.ShapeDtypeStruct((H, nt, BLK, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((H, nt, blk, blk), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, valid3, tiles)
     dk, dv = pl.pallas_call(
@@ -416,23 +438,23 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
                           scale=scale, num_heads=num_heads, n_q_blocks=nq),
         grid=(B, nq, nq),
         in_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, qb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, qb, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda b, kb, qb: (b, 0, kb)),
-            pl.BlockSpec((H, nt, BLK, BLK), lambda b, kb, qb: (0, 0, 0, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, qb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, qb, 0)),
+            pl.BlockSpec((1, 1, blk), lambda b, kb, qb: (b, 0, kb)),
+            pl.BlockSpec((H, nt, blk, blk), lambda b, kb, qb: (0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
-            pl.BlockSpec((1, BLK, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, kb, 0)),
+            pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, kb, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), q.dtype),
             jax.ShapeDtypeStruct((B, L, D), q.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((BLK, D), jnp.float32),
-                        pltpu.VMEM((BLK, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, D), jnp.float32),
+                        pltpu.VMEM((blk, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, valid3, tiles)
     return dq, dk, dv, dtiles
@@ -504,9 +526,43 @@ def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
     return dq, dk, dv, dtiles
 
 
+def _tile_blk(L: int, H: int, buckets: int) -> int:
+    """Bias-tile block size: whole-seq stripes use BLK; the chunked-KV
+    variant (L > MAX_WHOLESEQ_L) uses the larger _chunk_blk."""
+    return _chunk_blk(L, H, buckets) if L > MAX_WHOLESEQ_L else BLK
+
+
+def _bias_tiles_transpose(dtiles: jnp.ndarray, buckets: int) -> jnp.ndarray:
+    """Analytic transpose of _bias_tiles: tile grads [H, nt, blk, blk] ->
+    drab [H, buckets].
+
+    ``jax.vjp(_bias_tiles)`` would emit a scatter-add with blk*blk duplicate
+    indices per tile (only ``buckets`` distinct values) — TPU serializes
+    colliding scatter updates, measured SECONDS per call at blk=256. Each
+    Toeplitz tile's bucket gradient is a sum over its diagonals instead:
+    flip columns, pad each row by blk+1 and re-reshape so row i shifts left
+    by i (the standard diagonal-extraction trick), then column-sum — O(blk^2)
+    vector adds plus a tiny [2*blk]->[buckets] indexed add with static
+    indices."""
+    H, nt, blk, _ = dtiles.shape
+    drab = jnp.zeros((H, buckets), dtiles.dtype)
+    offs = np.arange(2 * blk) - (blk - 1)           # i - j per output column
+    for s in range(nt - 1):
+        M = dtiles[:, s][:, :, ::-1]                # flip j: antidiag = diag
+        A = jnp.pad(M, ((0, 0), (0, 0), (0, blk + 1)))
+        Bv = A.reshape(H, -1)[:, : 2 * blk * blk].reshape(H, blk, 2 * blk)
+        S = Bv.sum(axis=1)                          # [H, 2blk] diagonal sums
+        dist = np.clip(s * blk + offs, 0, buckets - 1)
+        drab = drab.at[:, dist].add(S)
+    # far slot: every position reads rab[buckets-1]
+    drab = drab.at[:, buckets - 1].add(dtiles[:, nt - 1].sum(axis=(1, 2)))
+    return drab
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads, interpret):
-    tiles = _bias_tiles(rab)
+    tiles = _bias_tiles(rab, _tile_blk(q.shape[1], rab.shape[0],
+                                       rab.shape[1]))
     hd = q.shape[-1] // num_heads
     return _pallas_fwd(q, k, v, valid3, tiles, seq_len, hd ** -0.5,
                        num_heads, interpret)
@@ -520,13 +576,15 @@ def _core_fwd(q, k, v, valid3, rab, seq_len, num_heads, interpret):
 
 def _core_bwd(seq_len, num_heads, interpret, res, g):
     q, k, v, valid3, rab = res
-    tiles = _bias_tiles(rab)
+    blk = _tile_blk(q.shape[1], rab.shape[0], rab.shape[1])
+    tiles = _bias_tiles(rab, blk)
     hd = q.shape[-1] // num_heads
     dq, dk, dv, dtiles = _pallas_bwd(q, k, v, g, valid3, tiles, seq_len,
                                      hd ** -0.5, num_heads, interpret)
-    # route tile grads back to rab through the differentiable precompute
-    _, vjp = jax.vjp(_bias_tiles, rab)
-    (drab,) = vjp(dtiles)
+    # route tile grads back to rab via the analytic Toeplitz transpose
+    # (autodiff through _bias_tiles emits a duplicate-heavy scatter-add
+    # that TPU serializes — seconds per call at blk>=256)
+    drab = _bias_tiles_transpose(dtiles, rab.shape[1])
     return dq, dk, dv, None, drab
 
 

@@ -175,3 +175,19 @@ def test_bf16_long_variant(monkeypatch):
                             interpret=True)
     ref = HK.hstu_attention_oracle(q, k, v, valid, rab, seq_len=L)
     assert _max_rel_err(out, ref) < 3e-2
+
+
+def test_bias_tiles_transpose_matches_vjp():
+    """Analytic Toeplitz transpose == autodiff vjp of _bias_tiles."""
+    rng = np.random.default_rng(7)
+    for blk, buckets, H in ((128, 128, 2), (256, 128, 1), (128, 300, 1)):
+        rab = jnp.asarray(rng.standard_normal((H, buckets)), jnp.float32)
+        nt = HK._n_near(buckets, blk) + 1
+        dtiles = jnp.asarray(
+            rng.standard_normal((H, nt, blk, blk)), jnp.float32)
+        _, vjp = jax.vjp(lambda r: HK._bias_tiles(r, blk), rab)
+        (want,) = vjp(dtiles)
+        got = HK._bias_tiles_transpose(dtiles, buckets)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4,
+                                   err_msg=f"blk={blk} buckets={buckets}")
