@@ -60,19 +60,26 @@ def main():
     step = PT.make_sharded_train_step(model, tx, cfg, mesh)
     key = jax.random.key(0)
 
-    # warmup (compile + 2 steps)
-    for _ in range(3):
+    # warmup: donated-layout changes can trigger late recompiles (observed
+    # as late as call 4-5 on new shapes) — warm 6 calls, then SLOPE-time
+    # (14-iter minus 4-iter windows) so any residual one-off cost cancels
+    for _ in range(6):
         state, metrics = step(state, batch, tables["mm"], tables, key)
     jax.block_until_ready(metrics["loss"])
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, tables["mm"], tables, key)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def timed(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, tables["mm"], tables, key)
+        jax.block_until_ready(m["loss"])
+        return time.perf_counter() - t0
 
-    examples_per_s = B * iters / dt
+    n1, n2 = 4, 14
+    timed(n1)
+    dt = (timed(n2) - timed(n1)) / (n2 - n1)
+
+    examples_per_s = B / dt
     per_chip = examples_per_s / jax.device_count()
     baseline = BENCH_BASELINE or per_chip
 
@@ -94,7 +101,7 @@ def main():
     attn_flops = pairs * H * (2 * 2 * hd) * blocks * 3  # fwd + ~2x bwd
     total_flops = flops + attn_flops
     peak = 197e12 if jax.devices()[0].platform == "tpu" else 197e12
-    step_time = dt / iters
+    step_time = dt
     mfu = total_flops / step_time / (peak * jax.device_count())
     print(json.dumps({
         "metric": "hstu_flagship_train_examples_per_s_per_chip",
