@@ -55,7 +55,9 @@ def main():
         def body(c, ids):
             sp = jnp.take(tables["sparse"], ids, axis=0, mode="clip")
             ar = jnp.take(tables["array"], ids, axis=0, mode="clip")
-            emb = model.encode_items(params, ids, sp, ar, tables["mm"])
+            mm = {fid: jnp.take(t, ids, axis=0, mode="clip")
+                  for fid, t in tables["mm"].items()}
+            emb = model.encode_items(params, ids, sp, ar, mm)
             return c + emb.astype(jnp.float32).sum(), emb
 
         s, embs = jax.lax.scan(body, jnp.float32(0), ids_dev)
