@@ -75,8 +75,13 @@ def hstu_block(params: Mapping, x: jnp.ndarray, mask: jnp.ndarray,
 
     w = params["uvqk"]["w"].astype(dtype)
     b = params["uvqk"]["b"].astype(dtype)
-    uvqk = jax.nn.silu(x @ w + b)
+    uvqk = x @ w + b
+    if not (core is not None and getattr(core, "fused_silu", False)):
+        uvqk = jax.nn.silu(uvqk)
     u, v, q, k = jnp.split(uvqk, 4, axis=-1)
+    if core is not None and getattr(core, "fused_silu", False):
+        # kernel applies SiLU to q/k/v on load; only the gate needs it here
+        u = jax.nn.silu(u)
 
     def heads(t):
         return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)

@@ -127,17 +127,33 @@ def _diag_causal(n_kb):
     return (iq + (n_kb - 1) * BLK) >= ik
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref, *,
-                seq_len: int, n_tiles: int, scale: float, num_heads: int,
-                n_blocks: int):
-    # Matmul operands stay in the input dtype (bf16 on the product path —
-    # a Mosaic f32 matmul is a multi-pass MXU op, several-x slower) with
-    # f32 accumulation; silu/mask/bias math runs in f32.
+def _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv):
+    """Load q/k/v (whole block), optionally applying SiLU in-kernel.
+
+    With ``silu_qkv`` the caller passes PRE-activation projections and the
+    block skips its [B, L, 3D] silu pass entirely — the activation runs here
+    on VMEM-resident data (one fused VPU op per operand, no HBM round trip).
+    Matmul operands stay in the input dtype (bf16 on the product path — a
+    Mosaic f32 matmul is a multi-pass MXU op) with f32 accumulation."""
     f32 = jnp.float32
     cdt = q_ref.dtype
-    q = (q_ref[0].astype(f32) * scale).astype(cdt)      # [L, D]
-    k = k_ref[0]
-    v = v_ref[0]
+    if silu_qkv:
+        q = (jax.nn.silu(q_ref[0].astype(f32)) * scale).astype(cdt)
+        k = jax.nn.silu(k_ref[0].astype(f32)).astype(cdt)
+        v = jax.nn.silu(v_ref[0].astype(f32)).astype(cdt)
+    else:
+        q = (q_ref[0].astype(f32) * scale).astype(cdt)
+        k = k_ref[0]
+        v = v_ref[0]
+    return q, k, v
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref, *,
+                seq_len: int, n_tiles: int, scale: float, num_heads: int,
+                n_blocks: int, silu_qkv: bool):
+    f32 = jnp.float32
+    cdt = q_ref.dtype
+    q, k, v = _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv)
     D = q.shape[-1]
     hd = D // num_heads
     kv_ok = (valid_ref[0] != 0)                         # [1, L] (stay 2-D)
@@ -165,15 +181,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
                 dq_ref, dk_ref, dv_ref, dtiles_ref,
                 dk_acc, dv_acc, *,
                 seq_len: int, n_tiles: int, scale: float, n_blocks: int,
-                num_heads: int):
+                num_heads: int, silu_qkv: bool):
     """One pass: dq written per q block; dk/dv accumulated in VMEM scratch;
-    bias-tile gradients accumulated across the (B,) grid."""
+    bias-tile gradients accumulated across the (B,) grid. With ``silu_qkv``
+    the gradients chain through the in-kernel SiLU (dsilu of the
+    pre-activation refs multiplied at the output writes)."""
     b = pl.program_id(0)
     f32 = jnp.float32
     cdt = q_ref.dtype
-    q = (q_ref[0].astype(f32) * scale).astype(cdt)
-    k = k_ref[0]
-    v = v_ref[0]
+    q, k, v = _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv)
     do = do_ref[0]
     D = q.shape[-1]
     hd = D // num_heads
@@ -217,11 +233,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
             for kb in range(qb + 1):                    # static slots
                 slot = min(qb - kb, n_tiles - 1)
                 dtiles_ref[h, slot] += ds[:, kb * BLK:(kb + 1) * BLK]
-        dq_ref[0, qsl, :] = (jnp.concatenate(dqs, axis=-1) * scale
-                             ).astype(dq_ref.dtype)
+        dq_blk = jnp.concatenate(dqs, axis=-1) * scale
+        if silu_qkv:
+            dq_blk = dq_blk * _dsilu(q_ref[0, qsl, :].astype(f32))
+        dq_ref[0, qsl, :] = dq_blk.astype(dq_ref.dtype)
 
-    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+    dk_out = dk_acc[...]
+    dv_out = dv_acc[...]
+    if silu_qkv:
+        dk_out = dk_out * _dsilu(k_ref[0].astype(f32))
+        dv_out = dv_out * _dsilu(v_ref[0].astype(f32))
+    dk_ref[0] = dk_out.astype(dk_ref.dtype)
+    dv_ref[0] = dv_out.astype(dv_ref.dtype)
 
 
 
@@ -250,7 +273,7 @@ def _chunk_mask(qb, kb, valid_ref, seq_len):
 
 def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
                       acc_ref, *, seq_len, n_tiles, scale, num_heads,
-                      n_k_blocks):
+                      n_k_blocks, silu_qkv):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     f32 = jnp.float32
@@ -261,10 +284,8 @@ def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
 
     @pl.when(kb <= qb)
     def _():
+        q, k, v = _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv)
         cdt = q_ref.dtype
-        q = (q_ref[0].astype(f32) * scale).astype(cdt)   # [BLK, D]
-        k = k_ref[0]                                     # [BLK, D]
-        v = v_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
         m = _chunk_mask(qb, kb, valid_ref, seq_len)
@@ -286,7 +307,8 @@ def _fwd_kernel_chunk(q_ref, k_ref, v_ref, valid_ref, tiles_ref, o_ref,
 
 def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
                      dq_ref, dtiles_ref, dq_acc, *,
-                     seq_len, n_tiles, scale, num_heads, n_k_blocks):
+                     seq_len, n_tiles, scale, num_heads, n_k_blocks,
+                     silu_qkv):
     b = pl.program_id(0)
     qb = pl.program_id(1)
     kb = pl.program_id(2)
@@ -302,10 +324,8 @@ def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(kb <= qb)
     def _():
+        q, k, v = _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv)
         cdt = q_ref.dtype
-        q = (q_ref[0].astype(f32) * scale).astype(cdt)
-        k = k_ref[0]
-        v = v_ref[0]
         do = do_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
@@ -328,12 +348,16 @@ def _dq_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(kb == n_k_blocks - 1)
     def _():
-        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+        dq_out = dq_acc[...] * scale
+        if silu_qkv:
+            dq_out = dq_out * _dsilu(q_ref[0].astype(f32))
+        dq_ref[0] = dq_out.astype(dq_ref.dtype)
 
 
 def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
                        dk_ref, dv_ref, dk_acc, dv_acc, *,
-                       seq_len, n_tiles, scale, num_heads, n_q_blocks):
+                       seq_len, n_tiles, scale, num_heads, n_q_blocks,
+                       silu_qkv):
     kb = pl.program_id(1)
     qb = pl.program_id(2)
     f32 = jnp.float32
@@ -345,10 +369,8 @@ def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(qb >= kb)
     def _():
+        q, k, v = _load_qkv(q_ref, k_ref, v_ref, scale, silu_qkv)
         cdt = q_ref.dtype
-        q = (q_ref[0].astype(f32) * scale).astype(cdt)
-        k = k_ref[0]
-        v = v_ref[0]
         do = do_ref[0]
         D = q.shape[-1]
         hd = D // num_heads
@@ -374,12 +396,17 @@ def _dkdv_kernel_chunk(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 
     @pl.when(qb == n_q_blocks - 1)
     def _():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_out = dk_acc[...]
+        dv_out = dv_acc[...]
+        if silu_qkv:
+            dk_out = dk_out * _dsilu(k_ref[0].astype(f32))
+            dv_out = dv_out * _dsilu(v_ref[0].astype(f32))
+        dk_ref[0] = dk_out.astype(dk_ref.dtype)
+        dv_ref[0] = dv_out.astype(dv_ref.dtype)
 
 
 def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
-                     interpret):
+                     interpret, silu_qkv):
     B, L, D = q.shape
     blk = tiles.shape[-1]  # chunk block size (tiles built at _chunk_blk)
     nq = L // blk
@@ -387,7 +414,8 @@ def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
     H = tiles.shape[0]
     return pl.pallas_call(
         functools.partial(_fwd_kernel_chunk, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_k_blocks=nq),
+                          scale=scale, num_heads=num_heads, n_k_blocks=nq,
+                          silu_qkv=silu_qkv),
         grid=(B, nq, nq),
         in_specs=[
             pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
@@ -404,7 +432,7 @@ def _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale, num_heads,
 
 
 def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
-                     interpret):
+                     interpret, silu_qkv):
     B, L, D = q.shape
     blk = tiles.shape[-1]
     nq = L // blk
@@ -412,7 +440,8 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
     H = tiles.shape[0]
     dq, dtiles = pl.pallas_call(
         functools.partial(_dq_kernel_chunk, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_k_blocks=nq),
+                          scale=scale, num_heads=num_heads, n_k_blocks=nq,
+                          silu_qkv=silu_qkv),
         grid=(B, nq, nq),
         in_specs=[
             pl.BlockSpec((1, blk, D), lambda b, qb, kb: (b, qb, 0)),
@@ -435,7 +464,8 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
     )(q, k, v, do, valid3, tiles)
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel_chunk, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_q_blocks=nq),
+                          scale=scale, num_heads=num_heads, n_q_blocks=nq,
+                          silu_qkv=silu_qkv),
         grid=(B, nq, nq),
         in_specs=[
             pl.BlockSpec((1, blk, D), lambda b, kb, qb: (b, qb, 0)),
@@ -461,17 +491,18 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
 
 
 def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,
-                interpret):
+                interpret, silu_qkv):
     B, L, D = q.shape
     if L > MAX_WHOLESEQ_L:
         return _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale,
-                                num_heads, interpret)
+                                num_heads, interpret, silu_qkv)
     nq = L // BLK
     nt = tiles.shape[1]
     H = tiles.shape[0]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, num_heads=num_heads, n_blocks=nq),
+                          scale=scale, num_heads=num_heads, n_blocks=nq,
+                          silu_qkv=silu_qkv),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
@@ -487,17 +518,18 @@ def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,
 
 
 def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
-                interpret):
+                interpret, silu_qkv):
     B, L, D = q.shape
     if L > MAX_WHOLESEQ_L:
         return _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale,
-                                num_heads, interpret)
+                                num_heads, interpret, silu_qkv)
     nq = L // BLK
     nt = tiles.shape[1]
     H = tiles.shape[0]
     dq, dk, dv, dtiles = pl.pallas_call(
         functools.partial(_bwd_kernel, seq_len=seq_len, n_tiles=nt,
-                          scale=scale, n_blocks=nq, num_heads=num_heads),
+                          scale=scale, n_blocks=nq, num_heads=num_heads,
+                          silu_qkv=silu_qkv),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
@@ -559,28 +591,31 @@ def _bias_tiles_transpose(dtiles: jnp.ndarray, buckets: int) -> jnp.ndarray:
     return drab
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads, interpret,
+                    silu_qkv):
     tiles = _bias_tiles(rab, _tile_blk(q.shape[1], rab.shape[0],
                                        rab.shape[1]))
     hd = q.shape[-1] // num_heads
     return _pallas_fwd(q, k, v, valid3, tiles, seq_len, hd ** -0.5,
-                       num_heads, interpret)
+                       num_heads, interpret, silu_qkv)
 
 
-def _core_fwd(q, k, v, valid3, rab, seq_len, num_heads, interpret):
+def _core_fwd(q, k, v, valid3, rab, seq_len, num_heads, interpret,
+              silu_qkv):
     out = _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads,
-                          interpret)
+                          interpret, silu_qkv)
     return out, (q, k, v, valid3, rab)
 
 
-def _core_bwd(seq_len, num_heads, interpret, res, g):
+def _core_bwd(seq_len, num_heads, interpret, silu_qkv, res, g):
     q, k, v, valid3, rab = res
     blk = _tile_blk(q.shape[1], rab.shape[0], rab.shape[1])
     tiles = _bias_tiles(rab, blk)
     hd = q.shape[-1] // num_heads
     dq, dk, dv, dtiles = _pallas_bwd(q, k, v, g, valid3, tiles, seq_len,
-                                     hd ** -0.5, num_heads, interpret)
+                                     hd ** -0.5, num_heads, interpret,
+                                     silu_qkv)
     # route tile grads back to rab via the analytic Toeplitz transpose
     # (autodiff through _bias_tiles emits a duplicate-heavy scatter-add
     # that TPU serializes — seconds per call at blk>=256)
@@ -594,17 +629,23 @@ _hstu_attn_core.defvjp(_core_fwd, _core_bwd)
 def hstu_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           valid: jnp.ndarray, rab: jnp.ndarray,
                           seq_len: int, num_heads: int,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          silu_qkv: bool = False) -> jnp.ndarray:
     """Head-packed fused HSTU attention: q/k/v [B, L, D] with D = H*hd
-    (L % 128 == 0); valid [B, L]; rab [H, buckets]. Returns [B, L, D]."""
+    (L % 128 == 0); valid [B, L]; rab [H, buckets]. Returns [B, L, D].
+
+    ``silu_qkv``: q/k/v are PRE-activation projections and SiLU runs inside
+    the kernel (saves the [B, L, 3D] elementwise pass + its remat recompute;
+    gradients chain through dsilu in the kernel epilogues)."""
     valid3 = valid.astype(jnp.int32)[:, None, :]
     return _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads,
-                           interpret)
+                           interpret, silu_qkv)
 
 
 def hstu_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    valid: jnp.ndarray, rab: jnp.ndarray, seq_len: int,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   silu_qkv: bool = False) -> jnp.ndarray:
     """[B, H, L, hd] interface (transposes into the packed layout)."""
     B, H, L, hd = q.shape
 
@@ -612,7 +653,7 @@ def hstu_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return t.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
 
     out = hstu_attention_packed(pack(q), pack(k), pack(v), valid, rab,
-                                seq_len, H, interpret)
+                                seq_len, H, interpret, silu_qkv)
     return out.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
 
 

@@ -191,3 +191,59 @@ def test_bias_tiles_transpose_matches_vjp():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-4,
                                    err_msg=f"blk={blk} buckets={buckets}")
+
+
+def test_silu_qkv_fused_matches_oracle():
+    """silu_qkv=True on pre-activation q/k/v == oracle on silu(q/k/v),
+    with gradients w.r.t. the PRE-activation inputs (dsilu chained in the
+    kernel epilogues)."""
+    q, k, v, valid, rab = _inputs(B=1, H=2, L=256, seed=9)
+    L = q.shape[2]
+    out = HK.hstu_attention(q, k, v, valid, rab, seq_len=L, interpret=True,
+                            silu_qkv=True)
+    ref = HK.hstu_attention_oracle(jax.nn.silu(q), jax.nn.silu(k),
+                                   jax.nn.silu(v), valid, rab, seq_len=L)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+    cot = jnp.asarray(
+        np.random.default_rng(13).standard_normal(q.shape), jnp.float32)
+
+    def f_kernel(q, k, v, rab):
+        return (HK.hstu_attention(q, k, v, valid, rab, seq_len=L,
+                                  interpret=True, silu_qkv=True) * cot).sum()
+
+    def f_oracle(q, k, v, rab):
+        return (HK.hstu_attention_oracle(
+            jax.nn.silu(q), jax.nn.silu(k), jax.nn.silu(v), valid, rab,
+            seq_len=L) * cot).sum()
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_silu_qkv_fused_long_variant(monkeypatch):
+    """Fused-silu path through the chunked-KV kernels (grads included)."""
+    monkeypatch.setattr(HK, "MAX_WHOLESEQ_L", 256)
+    q, k, v, valid, rab = _inputs(B=1, H=2, L=512, seed=10)
+    L = q.shape[2]
+    cot = jnp.asarray(
+        np.random.default_rng(14).standard_normal(q.shape), jnp.float32)
+
+    def f_kernel(q, k, v, rab):
+        return (HK.hstu_attention(q, k, v, valid, rab, seq_len=L,
+                                  interpret=True, silu_qkv=True) * cot).sum()
+
+    def f_oracle(q, k, v, rab):
+        return (HK.hstu_attention_oracle(
+            jax.nn.silu(q), jax.nn.silu(k), jax.nn.silu(v), valid, rab,
+            seq_len=L) * cot).sum()
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, rab)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
