@@ -36,14 +36,21 @@ def main():
             bump = (s.astype(jnp.int32) & 1)
             return jnp.clip(ids + bump, 1, V - 1), carry + s
 
-        ids, carry = f(table, ids0, jnp.float32(0))
-        jax.block_until_ready(carry)
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            ids, carry = f(table, ids, carry)
-        jax.block_until_ready(carry)
-        dt = (time.perf_counter() - t0) / iters
+        # axon's block_until_ready is NOT a timing barrier — fetch the
+        # scalar (float()) to sync, and slope-time two iteration counts so
+        # the fetch/dispatch constant cancels
+        def run(iters):
+            ids, carry = ids0, jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                ids, carry = f(table, ids, carry)
+            float(carry)
+            return time.perf_counter() - t0
+
+        run(4)  # warm/compile
+        n1, n2 = 4, 24
+        run(n1)
+        dt = (run(n2) - run(n1)) / (n2 - n1)
         gb = n_ids * D * 2 / 1e9          # bf16 payload out
         print(json.dumps({
             "metric": "fused_lookup_bandwidth",
