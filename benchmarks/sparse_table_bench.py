@@ -20,7 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
+def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10,
+                 table_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -29,8 +30,14 @@ def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
     import dataclasses
 
     cfg, schema, fused, model = G._make_synthetic_setup(
-        maxlen=maxlen, hidden=64, num_blocks=8, num_heads=4,
+        maxlen=maxlen, hidden=64, num_blocks=8, num_heads=1,
         block_type="hstu", itemnum=itemnum)
+    if table_dtype != "float32":
+        from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
+        mcfg = dataclasses.replace(cfg.model, table_dtype=table_dtype)
+        cfg = cfg.replace(model=mcfg)
+        model = SeqRecModel(cfg=mcfg, schema=schema, fused=fused,
+                            usernum=model.usernum, itemnum=model.itemnum)
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, batch_size=batch, l2_emb=0.0, weight_decay=0.0,
         sparse_tables=("item_emb",), table_optimizer=table_optimizer,
@@ -55,14 +62,22 @@ def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
     step = make_train_step(model, tx, cfg)
     key = jax.random.key(0)
 
-    for _ in range(3):  # warmup: layout-change recompile happens on call 2
+    # slope timing: donated-state recompiles can land as late as call 4-6,
+    # and one leftover remote compile inside a timed loop reads as a
+    # 30x-slower step — time two window sizes and difference them
+    for _ in range(6):
         state, metrics = step(state, b_dev, tables["mm"], tables, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(4):
         state, metrics = step(state, b_dev, tables["mm"], tables, key)
     loss = float(metrics["loss"])  # value fetch = real sync
-    dt = (time.perf_counter() - t0) / iters
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(4 + iters):
+        state, metrics = step(state, b_dev, tables["mm"], tables, key)
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0 - t_small) / iters
 
     touched = 3 * batch * L
     d = 64
@@ -70,7 +85,8 @@ def bench_config(itemnum, table_optimizer, batch=128, maxlen=1023, iters=10):
     dense_gb = itemnum * d * 4 * (2 + 2 * moments) / 1e9  # r/w table+moments
     sparse_gb = touched * d * 4 * (2 + 2 * moments) / 1e9
     return {
-        "metric": f"sparse_table_step_{itemnum // 1_000_000}M_{table_optimizer}",
+        "metric": f"sparse_table_step_{itemnum // 1_000_000}M_{table_optimizer}"
+                  + ("_bf16table" if table_dtype != "float32" else ""),
         "value": round(batch / dt, 2),
         "unit": "examples/s/chip",
         "step_ms": round(dt * 1000, 1),
@@ -94,13 +110,17 @@ def main():
     # rowwise_adagrad is the at-scale optimizer (231 ms/step @10M, 274 @20M
     # measured on v5e); lazy_adam's staged moment copies are pathological
     # beyond ~1M rows (129 s/step @8M f32) — small-table/test use only
-    configs = [(10_000_000, "rowwise_adagrad")]
+    configs = [(10_000_000, "rowwise_adagrad", "float32")]
     if "--big" in sys.argv:
-        # single-chip ceiling: table + staged copy must fit 16G HBM
-        configs += [(20_000_000, "rowwise_adagrad")]
-    for itemnum, opt in configs:
+        # all >=1M-row tables store PACKED [V/16, 8, 128] (copy-free
+        # layout) and scatter via the aliased Pallas group kernel; 50M
+        # additionally needs the bf16 master table to fit 16G HBM
+        configs += [(20_000_000, "rowwise_adagrad", "float32"),
+                    (50_000_000, "rowwise_adagrad", "bfloat16")]
+    for itemnum, opt, tdt in configs:
         try:
-            print(json.dumps(bench_config(itemnum, opt)), flush=True)
+            print(json.dumps(bench_config(itemnum, opt, table_dtype=tdt)),
+                  flush=True)
         except Exception as e:  # OOM on small chips: report, keep going
             print(json.dumps({"metric": f"sparse_table_step_{itemnum}",
                               "error": f"{type(e).__name__}: {e}"[:300]}),

@@ -102,6 +102,13 @@ def build_config(args):
 def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
+    if cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq > 1:
+        # a mesh row-shards big tables across devices; packed single-chip
+        # storage (ModelConfig.pack_big_tables) is the single-device answer
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, pack_big_tables=False))
 
     from ..config import EnvPaths
     from ..data.dataset import TrainSampler

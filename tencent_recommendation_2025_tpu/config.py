@@ -35,6 +35,15 @@ class ModelConfig:
     # HSTU specifics
     hstu_rel_pos_buckets: int = 128  # relative-position-bias buckets
     dtype: str = "bfloat16"          # compute dtype; params stay float32
+    # master dtype of the LEARNED item_emb table only. "bfloat16" halves
+    # the table, raising the single-chip sparse-table ceiling to 50M+
+    # rows; other params stay float32
+    table_dtype: str = "float32"
+    # store >=1M-row tables PACKED [V/R, 8, 128] (tile-compact layout; any
+    # XLA op on a huge [V, 64] table stages a lane-padded 2x copy of the
+    # whole thing). cli.train turns this off when a mesh shards the table
+    # instead (per-shard slices stay [rows, D])
+    pack_big_tables: bool = True
     use_flash_attention: bool = True  # Pallas fused attention kernel when shapes allow
     remat_blocks: bool = True        # jax.checkpoint each scanned block in training
     # Faithful reference init zeroes every 1-D param INCLUDING LayerNorm

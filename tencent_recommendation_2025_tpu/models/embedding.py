@@ -49,9 +49,21 @@ def xavier_normal(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
-def _emb_init(key, rows, dim):
-    w = xavier_normal(key, (rows, dim))
+def _emb_init(key, rows, dim, dtype=jnp.float32):
+    # generate directly in the target dtype: a giant-f32-then-cast would
+    # transiently hold BOTH copies (fatal at 50M+ rows on one chip)
+    w = xavier_normal(key, (rows, dim), jnp.dtype(dtype))
     return w.at[0].set(0.0)  # padding row zeroed (reference main.py:106-111)
+
+
+def _packed_emb_init(key, packed_shape, rows, dim, dtype):
+    """Init a PACKED [V/R, 8, 128] table in place (no [V, D] staging —
+    generating then repacking would transiently hold two giant copies).
+    xavier std comes from the LOGICAL (rows, dim) fan."""
+    std = (2.0 / (rows + dim)) ** 0.5
+    w = jax.random.normal(key, packed_shape, jnp.dtype(dtype)) * std
+    # padding row 0 = group 0, sublane 0, first `dim` lanes
+    return w.at[0, 0, :dim].set(0.0)
 
 
 def linear_init(key, d_in, d_out):
@@ -96,8 +108,19 @@ def init_embedding_params(key, cfg: ModelConfig, schema: FeatureSchema,
     keys = jax.random.split(key, 8)
     userdim, itemdim = tower_dims(cfg, schema)
     D = cfg.hidden_units
+    from ..ops.sparse_table import packed_table_shape
+
+    # big tables are STORED PACKED [V/R, 8, 128] (tile-compact layout):
+    # any XLA op on a huge [V, 64] table stages a lane-padded 2x copy of
+    # the whole thing — see ops/sparse_table.packed_table_shape
+    packed = packed_table_shape(itemnum + 1, D) \
+        if getattr(cfg, "pack_big_tables", True) else None
     params = {
-        "item_emb": _emb_init(keys[0], itemnum + 1, D),
+        "item_emb": _packed_emb_init(keys[0], packed, itemnum + 1, D,
+                                     jnp.dtype(cfg.table_dtype))
+        if packed is not None else
+        _emb_init(keys[0], itemnum + 1, D,
+                  dtype=jnp.dtype(cfg.table_dtype)),
         "user_emb": _emb_init(keys[1], usernum + 1, D),
         "pos_emb": _emb_init(keys[2], 2 * cfg.maxlen + 1, D),
         "fused_feat": _emb_init(keys[3], fused.total_rows, D),
@@ -161,7 +184,7 @@ def _onehot_full_lookup(table, ids, offsets_t, sizes_t, dtype):
     return stacked.reshape(*lead, F, D)
 
 def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
-                dtype=None, site=None) -> jnp.ndarray:
+                dtype=None, site=None, dim=None) -> jnp.ndarray:
     """``table[ids] * (ids != 0)`` — the padding_idx-0 contract.
 
     mode='clip': out-of-range ids clamp to the last row instead of jnp's
@@ -178,10 +201,18 @@ def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
     case ids resolve by searchsorted against the gathered prefix and the
     gradient lands on the [K, D] rows instead of the [V, D] table.
     """
-    from ..ops.sparse_table import GatheredRows
+    from ..ops.sparse_table import GatheredRows, is_packed, row_take
 
     if isinstance(table, GatheredRows):
         emb = table.lookup(ids, site=site)
+        if dtype is not None:
+            emb = emb.astype(dtype)
+        return emb * (ids != 0)[..., None].astype(emb.dtype)
+    if is_packed(table):
+        # packed big table (see ops/sparse_table.packed_table_shape): the
+        # width is not recoverable from the packed shape — callers pass
+        # ``dim`` (= cfg.hidden_units for item_emb, the only packed table)
+        emb = row_take(table, ids, dim=dim)
         if dtype is not None:
             emb = emb.astype(dtype)
         return emb * (ids != 0)[..., None].astype(emb.dtype)
@@ -320,7 +351,7 @@ def item_tower(params: Mapping, ids: jnp.ndarray,
     dtype = jnp.dtype(cfg.dtype)
     id_emb = item_emb_override if item_emb_override is not None \
         else masked_take(params["item_emb"], ids, dtype=dtype,
-                         site=lookup_site)
+                         site=lookup_site, dim=cfg.hidden_units)
     feats = [id_emb.astype(dtype)]
 
     if fused.n_item_sparse:

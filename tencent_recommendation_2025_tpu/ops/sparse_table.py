@@ -157,10 +157,12 @@ def host_unique_touched(ids_np, capacity: int, vocab_rows: int):
     return out
 
 
-def gather_rows(table: jnp.ndarray, uids: jnp.ndarray) -> GatheredRows:
-    rows = jnp.take(table, uids, axis=0, mode="clip")
-    # sentinel lanes read the last row; zero them so they contribute nothing
-    rows = rows * (uids < table.shape[0])[:, None].astype(rows.dtype)
+def gather_rows(table: jnp.ndarray, uids: jnp.ndarray,
+                dim: int = None) -> GatheredRows:
+    rows = row_take(table, uids, dim=dim)
+    # sentinel lanes read a clipped row; zero them so they contribute nothing
+    vocab = table_rows(table, rows.shape[-1])
+    rows = rows * (uids < vocab)[:, None].astype(rows.dtype)
     return GatheredRows(uids=uids, rows=rows)
 
 
@@ -169,12 +171,20 @@ def gather_rows(table: jnp.ndarray, uids: jnp.ndarray) -> GatheredRows:
 # ---------------------------------------------------------------------------
 
 def init_table_opt(table: jnp.ndarray, kind: str,
-                   moments_dtype="float32") -> Dict:
+                   moments_dtype="float32", dim: int = None) -> Dict:
+    """``dim`` (the embedding width) is required for packed tables — the
+    packed shape alone doesn't determine the logical row count."""
     if kind == "lazy_adam":
         dt = jnp.dtype(moments_dtype)
+        # moments mirror the table's storage (incl. the packed view)
         return {"mu": jnp.zeros_like(table, dtype=dt),
                 "nu": jnp.zeros_like(table, dtype=dt)}
     if kind == "rowwise_adagrad":
+        if is_packed(table):
+            # a plain [V] per-row vector: 1-D arrays don't lane-pad, so
+            # the accumulator needs no packing of its own
+            return {"acc": jnp.zeros((table_rows(table, dim),),
+                                     jnp.float32)}
         # zeros_like a column slice (not a fresh zeros) so the accumulator
         # inherits the table's row sharding when init runs under jit
         return {"acc": jnp.zeros_like(table[:, 0], dtype=jnp.float32)}
@@ -184,7 +194,8 @@ def init_table_opt(table: jnp.ndarray, kind: str,
 def compute_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
                        drows: jnp.ndarray, *, kind: str, lr,
                        step: jnp.ndarray, b1: float = 0.9, b2: float = 0.98,
-                       eps: float = 1e-8, weight_decay: float = 0.0
+                       eps: float = 1e-8, weight_decay: float = 0.0,
+                       rows0: jnp.ndarray = None
                        ) -> Tuple[jnp.ndarray, Dict]:
     """Row math only (GATHERS, no scatters): new values for the rows in
     ``uids`` from their gradient ``drows`` [K, D]. Returns
@@ -193,22 +204,22 @@ def compute_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
     ``step`` is the 1-based global step used for Adam bias correction
     (torch SparseAdam semantics: touched rows correct with the global t).
 
-    Split from :func:`scatter_row_update` deliberately: XLA inserts a FULL
-    COPY of any donated buffer that is both gathered and scattered inside one
-    program (measured: a [V, D] temp per moment table — the exact dense-
-    update cost this module exists to avoid). Run the math in the grad
-    program and the scatters in a second, scatter-only program where the
-    donated tables alias in place (temp = 0).
+    Tables may be packed [V/R, 8, 128] (see packed_table_shape) — row
+    gathers route through :func:`row_take`. Pass ``rows0`` (the forward's
+    gathered rows) to skip a second table gather.
     """
     f32 = jnp.float32
     g = drows.astype(f32)
-    rows = jnp.take(table, uids, axis=0, mode="clip").astype(f32)
-    ok = (uids < table.shape[0])[:, None].astype(f32)
+    D = drows.shape[-1]
+    # rows0 (the forward's gathered rows) skips a second table gather
+    rows = (rows0 if rows0 is not None
+            else row_take(table, uids, dim=D)).astype(f32)
+    ok = (uids < table_rows(table, D))[:, None].astype(f32)
     g = g * ok
 
     if kind == "lazy_adam":
-        mu_r = jnp.take(opt["mu"], uids, axis=0, mode="clip").astype(f32)
-        nu_r = jnp.take(opt["nu"], uids, axis=0, mode="clip").astype(f32)
+        mu_r = row_take(opt["mu"], uids, dim=D).astype(f32)
+        nu_r = row_take(opt["nu"], uids, dim=D).astype(f32)
         mu_r = b1 * mu_r + (1 - b1) * g
         nu_r = b2 * nu_r + (1 - b2) * g * g
         t = step.astype(f32)
@@ -234,21 +245,383 @@ def compute_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
     return new_rows.astype(table.dtype), opt_rows
 
 
+# Huge learned tables are stored PACKED: [V, D] viewed as [V/R, 8, 128]
+# write groups (R = 8*128/D rows). The packed shape's canonical TPU layout
+# is compact — every XLA op on a [V, 64] table (gather, scatter, even
+# reshape) first converts it to the lane-padded T(8,128) layout, staging a
+# 2x-expanded copy of the WHOLE table (11.9 GB at 50M bf16 rows — OOM on
+# one 16 GB chip; measured). Packed, the same program runs copy-free.
+# Threshold: the layout copies are bandwidth-cheap (~12 ms at 10M f32),
+# and the grouped gather/merge/scatter costs ~77 ms more per step at the
+# flagship's 393K touched rows — so packing only pays where the 2x copy
+# no longer FITS. 30M rows is where f32 stops fitting a 16 GB chip.
+TABLE_PACK_MIN_ROWS = 30_000_000
+_PAD_ROWS = 32      # lcm of the possible group sizes at D | 128
+_SCATTER_NSEM = 8     # outstanding group-DMAs per sub-chunk
+_SCATTER_CSC = 1024   # group ids streamed to SMEM per scalar DMA (one
+#                       tile-exact (8, 128) int32 block, 4 KB): scalar-
+#                       PREFETCHING the whole id list overflows the 1 MB
+#                       SMEM at the flagship's 393K touched rows, and any
+#                       finer HBM slice trips Mosaic's (8, 128) tiling
+
+
+def is_packed(table) -> bool:
+    """True for a packed [V/R, 8, 128] table view."""
+    return getattr(table, "ndim", 0) == 3 and table.shape[1:] == (8, 128)
+
+
+def table_rows(table: jnp.ndarray, dim: int) -> int:
+    """Logical row count of a table of ``dim``-wide rows (packed or not)."""
+    if is_packed(table):
+        return table.shape[0] * (8 * 128 // dim)
+    return table.shape[0]
+
+
+def padded_table_rows(rows: int) -> int:
+    """Physical row count for a learned table of ``rows`` logical rows:
+    big tables pad to a multiple of 32 so they pack into whole [8, 128]
+    groups for any supported (dtype, D). The <=31 pad rows are never read
+    — every consumer gathers by explicit id <= itemnum."""
+    if rows >= TABLE_PACK_MIN_ROWS:
+        return -(-rows // _PAD_ROWS) * _PAD_ROWS
+    return rows
+
+
+def scatter_group_rows(dtype, dim: int):
+    """Rows per packed [8, 128] group: 8 sublanes x 128 lanes folded over
+    ``dim``-wide rows. None when ``dim`` doesn't divide 128 (no packing).
+    8 sublanes suffice for bf16 too — Mosaic gives 3-D HBM refs a flexible
+    (1, 128) tiling (probed on v5e: f32 and bf16 S=8 groups both compile
+    and run; bf16 S=16 moves 2x the bytes for no win)."""
+    del dtype
+    if dim > 128 or 128 % dim:
+        return None
+    return 8 * (128 // dim)
+
+
+def packed_table_shape(rows: int, dim: int):
+    """Packed storage shape for a big table, or None to store [rows, dim].
+
+    Packing is what makes 50M+ x 64 rows trainable AND servable on one
+    chip: [V/R, 8, 128]'s canonical layout is compact, so gathers and
+    scatters stay copy-free, while ANY XLA op on a [V, 64] table stages a
+    lane-padded 2x copy of the whole thing (measured 11.9 GB at 50M bf16
+    rows — OOM)."""
+    R = scatter_group_rows(None, dim)
+    if R is None or rows < TABLE_PACK_MIN_ROWS:
+        return None
+    rows = padded_table_rows(rows)
+    assert rows % R == 0
+    return (rows // R, 8, 128)
+
+
+def row_take(table: jnp.ndarray, ids: jnp.ndarray, dim: int = None
+             ) -> jnp.ndarray:
+    """``table[ids]`` for 1-D state, [V, D] tables, or packed
+    [V/R, 8, 128] tables (mode='clip' everywhere; jnp's NaN-fill default
+    is never acceptable on tables). Packed extraction is a dim-0 block
+    gather + two in-register slot selects — no padded-layout staging."""
+    if not is_packed(table):
+        return jnp.take(table, ids, axis=0, mode="clip")
+    assert dim is not None and dim <= 128 and 128 % dim == 0
+    per = 128 // dim                     # rows per sublane
+    R = 8 * per
+    flat = ids.reshape(-1)
+    blocks = jnp.take(table, flat // R, axis=0, mode="clip")   # [N, 8, 128]
+    sub = (flat % R) // per
+    picked = jnp.take_along_axis(blocks, sub[:, None, None],
+                                 axis=1, mode="clip")          # [N, 1, 128]
+    halves = picked.reshape(-1, per, dim)
+    rows = jnp.take_along_axis(halves, (flat % per)[:, None, None],
+                               axis=1, mode="clip")            # [N, 1, dim]
+    return rows.reshape(*ids.shape, dim)
+
+
+def host_group_plan(uids_np, vocab_rows: int, group_rows: int) -> Dict:
+    """HOST-side write plan for the aliased group scatter.
+
+    ``uids_np`` is the sorted unique id list (sentinel ``vocab_rows``
+    padding at the tail, as produced by :func:`host_unique_touched`).
+    Returns, with R = group_rows and K = len(uids) rounded up to the DMA
+    chunk:
+
+    - ``groups`` [K] int32 — unique touched R-row group indices, sentinel
+      ``vocab_rows // R`` padding (kernel skips those);
+    - ``slot_src`` [K, R] int32 — for each group, per-slot source row in
+      the step's new-row tensor, or K for slots the step did not touch
+      (those keep their old table value);
+    - ``uid_pos`` [len(uids)] int32 — each uid's row in the gathered group
+      buffer viewed [K*R, D] (gidx*R + slot; sentinels point at row 0 and
+      must be masked by the caller).
+    """
+    import numpy as np
+
+    uids = np.asarray(uids_np)
+    K = -(-len(uids) // _SCATTER_CSC) * _SCATTER_CSC
+    R = group_rows
+    nG = vocab_rows // R
+    real = uids < vocab_rows           # sentinels sort last -> real prefix
+    gr = uids[real] // R
+    first = np.ones(len(gr), bool)
+    first[1:] = gr[1:] != gr[:-1]
+    groups_u = gr[first]
+    groups = np.full((K,), nG, np.int32)
+    groups[: len(groups_u)] = groups_u
+    slot_src = np.full((K, R), K, np.int32)
+    gidx = np.cumsum(first) - 1        # group index of each real uid
+    slot = uids[real] % R
+    slot_src[gidx, slot] = np.arange(len(gr), dtype=np.int32)
+    uid_pos = np.zeros((len(uids),), np.int32)
+    uid_pos[: len(gr)] = gidx.astype(np.int32) * R + slot.astype(np.int32)
+    return {"groups": groups, "slot_src": slot_src, "uid_pos": uid_pos}
+
+
+def pallas_group_scatter(table3: jnp.ndarray, groups: jnp.ndarray,
+                         arranged: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """In-place aligned-group scatter: ``table3[groups[j]] = arranged[j]``
+    (sentinel groups skipped) with ``input_output_aliases`` on the table.
+
+    Why not ``table.at[uids].set``: inside a program that also GATHERS the
+    same buffer, XLA copy-insertion stages a full [V, D] table copy — and
+    the HLO temp takes the padded tile layout (2x expansion for D=64), so a
+    50M x 64 bf16 table costs 6 GB (argument) + 12 GB (staged copy) and
+    blows the single-chip HBM. Here the table stays in HBM
+    (``memory_space=HBM``); the kernel DMAs one tile-exact [S, 128] group
+    per touched group straight into the aliased buffer — no staged copy,
+    O(G*R*D) bytes moved, _SCATTER_NSEM copies in flight.
+
+    Shapes: table3 [V/R, S, 128] (the padded table viewed in write groups,
+    R rows of width D folded into S sublanes x 128 lanes — see
+    scatter_group_rows), groups [K] int32 unique (host_group_plan),
+    arranged [K, S, 128] the merged new content per group. Finer slices are
+    NOT an option (probed on v5e): Mosaic lane-pads D<128 refs to 128 and
+    rejects sub-tile slices even in HBM — only the leading dim of a 3-D
+    tile-exact ref slices freely. Group ids stream HBM -> SMEM in
+    _SCATTER_CSC-id chunks rather than scalar-prefetching: the whole list
+    (393K int32 at the flagship) overflows the 1 MB SMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = groups.shape[0]
+    nG = table3.shape[0]
+    assert K % _SCATTER_CSC == 0, (K, _SCATTER_CSC)
+    assert arranged.shape[0] == K and arranged.shape[1:] == table3.shape[1:]
+    groups3d = groups.astype(jnp.int32).reshape(K // _SCATTER_CSC, 8, 128)
+
+    def kernel(g3d_ref, arr_ref, tbl_ref, out_ref, gbuf, gsem, dsem):
+        del tbl_ref  # same buffer as out_ref (aliased)
+
+        def chunk(c, carry):
+            cp = pltpu.make_async_copy(g3d_ref.at[pl.ds(c, 1)], gbuf, gsem)
+            cp.start()
+            cp.wait()
+
+            def sub(t, carry2):
+                # start NSEM copies, then wait them — keeps NSEM DMAs in
+                # flight; groups are unique so no same-destination hazard
+                for s in range(_SCATTER_NSEM):
+                    idx = t * _SCATTER_NSEM + s
+                    g = gbuf[0, idx // 128, idx % 128]
+                    j = c * _SCATTER_CSC + idx
+
+                    @pl.when(g < nG)
+                    def _():
+                        pltpu.make_async_copy(arr_ref.at[pl.ds(j, 1)],
+                                              out_ref.at[pl.ds(g, 1)],
+                                              dsem.at[s]).start()
+                for s in range(_SCATTER_NSEM):
+                    idx = t * _SCATTER_NSEM + s
+                    g = gbuf[0, idx // 128, idx % 128]
+                    j = c * _SCATTER_CSC + idx
+
+                    @pl.when(g < nG)
+                    def _():
+                        pltpu.make_async_copy(arr_ref.at[pl.ds(j, 1)],
+                                              out_ref.at[pl.ds(g, 1)],
+                                              dsem.at[s]).wait()
+                return carry2
+
+            jax.lax.fori_loop(0, _SCATTER_CSC // _SCATTER_NSEM, sub, 0)
+            return carry
+
+        jax.lax.fori_loop(0, K // _SCATTER_CSC, chunk, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),   # groups3d
+                  pl.BlockSpec(memory_space=pltpu.HBM),   # arranged
+                  pl.BlockSpec(memory_space=pltpu.HBM)],  # table
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SMEM((1, 8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((_SCATTER_NSEM,))],
+        out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
+        # operand order: 0=groups3d, 1=arranged, 2=table -> alias table
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(groups3d, arranged.astype(table3.dtype), table3)
+
+
+def pallas_group_gather(table3: jnp.ndarray, groups: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Group gather twin of :func:`pallas_group_scatter`:
+    ``out[j] = table3[groups[j]]`` (sentinel groups skipped — their output
+    blocks stay uninitialized and must never be read).
+
+    NOT on the product path: with the table STORED packed, a plain XLA
+    dim-0 gather is copy-free and measured faster on v5e at 50M rows
+    (29.6 ms vs 43.9 ms full-step with this kernel). Kept as the fallback
+    for environments where the XLA gather regresses, and as the measured
+    record of that comparison."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = groups.shape[0]
+    nG = table3.shape[0]
+    assert K % _SCATTER_CSC == 0, (K, _SCATTER_CSC)
+    groups3d = groups.astype(jnp.int32).reshape(K // _SCATTER_CSC, 8, 128)
+
+    def kernel(g3d_ref, tbl_ref, out_ref, gbuf, gsem, dsem):
+        def chunk(c, carry):
+            cp = pltpu.make_async_copy(g3d_ref.at[pl.ds(c, 1)], gbuf, gsem)
+            cp.start()
+            cp.wait()
+
+            def sub(t, carry2):
+                for s in range(_SCATTER_NSEM):
+                    idx = t * _SCATTER_NSEM + s
+                    g = gbuf[0, idx // 128, idx % 128]
+                    j = c * _SCATTER_CSC + idx
+
+                    @pl.when(g < nG)
+                    def _():
+                        pltpu.make_async_copy(tbl_ref.at[pl.ds(g, 1)],
+                                              out_ref.at[pl.ds(j, 1)],
+                                              dsem.at[s]).start()
+                for s in range(_SCATTER_NSEM):
+                    idx = t * _SCATTER_NSEM + s
+                    g = gbuf[0, idx // 128, idx % 128]
+                    j = c * _SCATTER_CSC + idx
+
+                    @pl.when(g < nG)
+                    def _():
+                        pltpu.make_async_copy(tbl_ref.at[pl.ds(g, 1)],
+                                              out_ref.at[pl.ds(j, 1)],
+                                              dsem.at[s]).wait()
+                return carry2
+
+            jax.lax.fori_loop(0, _SCATTER_CSC // _SCATTER_NSEM, sub, 0)
+            return carry
+
+        jax.lax.fori_loop(0, K // _SCATTER_CSC, chunk, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),   # groups3d
+                  pl.BlockSpec(memory_space=pltpu.HBM)],  # table
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SMEM((1, 8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((_SCATTER_NSEM,))],
+        out_shape=jax.ShapeDtypeStruct((K,) + table3.shape[1:],
+                                       table3.dtype),
+        interpret=interpret,
+    )(groups3d, table3)
+
+
+def gather_rows_grouped(table3: jnp.ndarray, uids: jnp.ndarray,
+                        group_plan: Dict, dim: int, plans: Dict = None
+                        ) -> Tuple[GatheredRows, jnp.ndarray]:
+    """(GatheredRows for ``uids``, gathered group buffer [K, 8, 128]) from
+    a PACKED table.
+
+    The group buffer is one XLA dim-0 gather on the packed table (probed
+    on v5e at 50M rows: copy-free and faster than a Pallas DMA gather);
+    touched rows extract from it with a cheap second gather over [K*R, D].
+    Returns the buffer too — it is exactly the "old" content
+    :func:`group_scatter_apply` needs for its merge."""
+    assert is_packed(table3), table3.shape
+    group_buf = jnp.take(table3, group_plan["groups"], axis=0,
+                         mode="clip")                       # [K, 8, 128]
+    flat = group_buf.reshape(-1, dim)
+    rows = jnp.take(flat, group_plan["uid_pos"], axis=0, mode="clip")
+    rows = rows * (uids < table_rows(table3, dim))[:, None].astype(
+        rows.dtype)
+    return GatheredRows(uids=uids, rows=rows, plans=plans or {}), group_buf
+
+
+def group_scatter_apply(buf3: jnp.ndarray, vals: jnp.ndarray,
+                        group_plan: Dict, old3: jnp.ndarray = None,
+                        interpret: bool = False,
+                        use_pallas: bool = None) -> jnp.ndarray:
+    """``buf[uids] = vals`` on a PACKED buffer, as whole-group writes:
+    build each touched group's merged [R, D] content (new rows at touched
+    slots, old rows elsewhere — a plain gather+where, no row scatter),
+    then write whole groups — via the aliased Pallas DMA kernel on TPU
+    (measured 12 ms faster than the XLA group scatter at the flagship's
+    393K touched rows), or an XLA dim-0 scatter elsewhere.
+
+    Pass ``old3`` (the group buffer from :func:`gather_rows_grouped`)
+    whenever the groups were already gathered this step."""
+    assert is_packed(buf3), buf3.shape
+    groups, slot_src = group_plan["groups"], group_plan["slot_src"]
+    K, R = slot_src.shape
+    D = vals.shape[-1]
+    assert R * D == 8 * 128, (R, D)
+    vals_ext = jnp.concatenate(
+        [vals.astype(buf3.dtype), jnp.zeros((1, D), buf3.dtype)])
+    picked = jnp.take(vals_ext, jnp.minimum(slot_src, K), axis=0,
+                      mode="clip")                          # [K, R, D]
+    if old3 is None:
+        old3 = jnp.take(buf3, groups, axis=0, mode="clip")  # [K, 8, 128]
+    touched = (slot_src < K)[..., None]
+    arranged = jnp.where(touched, picked,
+                         old3.reshape(K, R, D)).reshape(K, 8, 128)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return pallas_group_scatter(buf3, groups, arranged,
+                                    interpret=interpret)
+    return buf3.at[groups].set(arranged, mode="drop")
+
+
 def scatter_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
-                       new_rows: jnp.ndarray, opt_rows: Dict
+                       new_rows: jnp.ndarray, opt_rows: Dict,
+                       group_plan: Dict = None, table_old3=None
                        ) -> Tuple[jnp.ndarray, Dict]:
-    """Scatter-only companion of :func:`compute_row_update` — run it in its
-    own jit with ``table``/``opt`` DONATED so every scatter aliases in place
-    (sentinel uids drop out of range)."""
-    table = table.at[uids].set(new_rows, mode="drop")
-    opt = {k: opt[k].at[uids].set(v, mode="drop")
-           for k, v in opt_rows.items()}
+    """Scatter-only companion of :func:`compute_row_update` (donated
+    buffers alias in place; sentinel uids drop out of range).
+
+    PACKED buffers require a host ``group_plan`` whose R matches their
+    fold and scatter whole [8, 128] groups (group_scatter_apply); plain
+    2-D/1-D buffers use the XLA row scatter."""
+
+    def one(buf, vals, old3=None):
+        if is_packed(buf):
+            assert group_plan is not None and \
+                group_plan["slot_src"].shape[1] * vals.shape[-1] == 8 * 128, \
+                "packed tables need a matching host group plan to scatter"
+            return group_scatter_apply(buf, vals, group_plan, old3=old3)
+        return buf.at[uids].set(vals, mode="drop")
+
+    table = one(table, new_rows, old3=table_old3)
+    opt = {k: one(opt[k], v) for k, v in opt_rows.items()}
     return table, opt
 
 
 def apply_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
-                     drows: jnp.ndarray, **kw) -> Tuple[jnp.ndarray, Dict]:
-    """compute + scatter in one program — fine for tests/small tables; at
-    scale use the two-program split (see compute_row_update's docstring)."""
-    new_rows, opt_rows = compute_row_update(table, opt, uids, drows, **kw)
-    return scatter_row_update(table, opt, uids, new_rows, opt_rows)
+                     drows: jnp.ndarray, group_plan: Dict = None,
+                     rows0: jnp.ndarray = None, table_old3=None,
+                     **kw) -> Tuple[jnp.ndarray, Dict]:
+    """compute + scatter in one program. Big tables with a host
+    ``group_plan`` scatter through the aliased Pallas kernel (no staged
+    [V, D] copy); everything else through the XLA scatter. Pass ``rows0``
+    and ``table_old3`` from :func:`gather_rows_grouped` so the table is
+    never XLA-gathered."""
+    new_rows, opt_rows = compute_row_update(table, opt, uids, drows,
+                                            rows0=rows0, **kw)
+    return scatter_row_update(table, opt, uids, new_rows, opt_rows,
+                              group_plan=group_plan, table_old3=table_old3)

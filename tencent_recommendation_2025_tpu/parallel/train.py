@@ -40,7 +40,8 @@ def init_sharded_state(model: SeqRecModel, cfg: Config, mesh: Mesh,
             "dense": jax.jit(tx.init)(dense),
             "tables": {n: jax.jit(
                 lambda t: init_table_opt(t, cfg.train.table_optimizer,
-                                         cfg.train.table_moments_dtype)
+                                         cfg.train.table_moments_dtype,
+                                         dim=cfg.model.hidden_units)
             )(params[n]) for n in sparse},
         }
     else:

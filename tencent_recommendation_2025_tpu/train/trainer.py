@@ -150,9 +150,23 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key):
         out["sampled_neg_ids" if cfg.train.loss_type == "sampled_softmax"
             else "neg"]).reshape(-1))
     ids_all = np.concatenate(parts)
-    uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg),
-                               itemnum + 1)
+    from ..ops import sparse_table as ST
+
+    packed = ST.packed_table_shape(itemnum + 1, cfg.model.hidden_units) \
+        if cfg.model.pack_big_tables else None
+    # sentinel = the PHYSICAL table rows (packed tables pad to whole
+    # [8, 128] groups)
+    vocab = ST.padded_table_rows(itemnum + 1) if packed else itemnum + 1
+    uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg), vocab)
     out["touched_uids"] = uids
+    if packed is not None:
+        # whole-group gather/scatter plan for the packed table
+        R = ST.scatter_group_rows(cfg.model.table_dtype,
+                                  cfg.model.hidden_units)
+        plan = ST.host_group_plan(uids, vocab, R)
+        out["scatter_groups"] = plan["groups"]
+        out["scatter_slot_src"] = plan["slot_src"]
+        out["scatter_uid_pos"] = plan["uid_pos"]
     # per-site lookup plans: resolved positions + the scatter-free backward
     # schedule (ops/sparse_table.build_lookup_plan)
     from ..ops.sparse_table import build_lookup_plan
@@ -180,6 +194,17 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
     sparse = tuple(cfg.train.sparse_tables)
     assert set(sparse) <= {"item_emb"}, \
         f"sparse_tables supports ('item_emb',), got {sparse}"
+    from ..ops.sparse_table import packed_table_shape
+
+    if packed_table_shape(model.itemnum + 1, cfg.model.hidden_units) \
+            and cfg.model.pack_big_tables:
+        assert sparse, (
+            "tables at packed scale (>=1M rows) must train sparsely: dense "
+            "gradients on a packed table would scatter-add row fragments; "
+            "set train.sparse_tables=('item_emb',) or pack_big_tables=False")
+        assert mesh is None, (
+            "pack_big_tables is a single-device layout; meshes row-shard "
+            "the table instead — cli.train sets pack_big_tables=False")
 
     if not sparse:
         def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
@@ -201,12 +226,10 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
         return jax.jit(step_fn, donate_argnums=(0,))
 
     # ---- sparse-table path: ONE jitted step -------------------------------
-    # Gather+scatter of the same donated buffer makes XLA stage a [V, D]
-    # copy per table/moment — a MEMORY tax (~1x table+moments, ~12ms of HBM
-    # time at 10M rows), accepted deliberately: splitting into two dispatches
-    # would hand the [K, D] row tensors across a jit boundary, which the
-    # axon runtime round-trips through the host (measured ~40 s per 100 MB).
-    # Use table_moments_dtype="bfloat16" to offset the memory tax.
+    # Big tables are PACKED [V/R, 8, 128] (embedding.init_embedding_params):
+    # the packed shape's canonical layout is compact, so the gather-train
+    # loop runs copy-free; on a [V, 64] table every XLA touch (gather,
+    # scatter, reshape) staged a lane-padded 2x copy of the whole table.
     from ..ops import sparse_table as ST
 
     def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
@@ -220,8 +243,17 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
                 model.itemnum + 1)
         table = state.params["item_emb"]
         table_opt = state.opt_state["tables"]["item_emb"]
-        V = table.shape[0]
+        D = cfg.model.hidden_units
+        V = ST.table_rows(table, D)
         plans = batch.pop("sparse_plans", {})
+        group_plan = None
+        if "scatter_groups" in batch:
+            # whole-group gather/scatter plan for the PACKED table
+            plan = {"groups": batch.pop("scatter_groups"),
+                    "slot_src": batch.pop("scatter_slot_src"),
+                    "uid_pos": batch.pop("scatter_uid_pos")}
+            if ST.is_packed(table):
+                group_plan = plan
         if "touched_uids" in batch:
             # host-precomputed dedup (augment_batch_sparse): the fast path —
             # device sort/unique is pathologically slow on TPU
@@ -230,7 +262,15 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             ids_all = _collect_touched_item_ids(batch, cfg)
             uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
                                      vocab_rows=V)
-        rows0 = ST.gather_rows(table, uids).rows
+        if group_plan is not None:
+            # one dim-0 group gather feeds the forward's rows AND the
+            # scatter's old-group content
+            gathered, group_buf = ST.gather_rows_grouped(table, uids,
+                                                         group_plan, dim=D)
+            rows0 = gathered.rows
+        else:
+            group_buf = None
+            rows0 = ST.gather_rows(table, uids, dim=D).rows
         dense_params = {k: v for k, v in state.params.items()
                         if k not in sparse}
 
@@ -246,7 +286,9 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
                                        dense_params)
         new_dense = optax.apply_updates(dense_params, updates)
         new_table, new_topt = ST.apply_row_update(
-            table, table_opt, uids, drows, kind=cfg.train.table_optimizer,
+            table, table_opt, uids, drows, group_plan=group_plan,
+            rows0=rows0 if group_plan is not None else None,
+            table_old3=group_buf, kind=cfg.train.table_optimizer,
             lr=cfg.train.lr, step=state.step + 1, b1=cfg.train.adam_b1,
             b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
         metrics = _grad_metrics(metrics, dgrads, drows)
@@ -283,7 +325,8 @@ def init_state(model: SeqRecModel, tx, seed: int,
         opt_state = {
             "dense": tx.init(dense),
             "tables": {n: init_table_opt(params[n], cfg.train.table_optimizer,
-                                         cfg.train.table_moments_dtype)
+                                         cfg.train.table_moments_dtype,
+                                         dim=cfg.model.hidden_units)
                        for n in sparse},
         }
     else:

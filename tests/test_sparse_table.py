@@ -273,3 +273,183 @@ def test_sparse_sharded_step(small_setup, sparse_setup):
     assert len(state.params["item_emb"].sharding.device_set) == 8
     mu = state.opt_state["tables"]["item_emb"]["mu"]
     assert len(mu.sharding.device_set) == 8
+
+
+def test_bf16_master_table_trains(small_setup, sparse_setup):
+    """table_dtype=bfloat16: the learned item_emb masters in bf16 (halves
+    the single-chip table + staged-copy footprint); rowwise-Adagrad math
+    stays f32 and the loss still decreases."""
+    from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    _, sparse_cfg = sparse_setup
+    cfg = sparse_cfg.replace(
+        model=dataclasses.replace(sparse_cfg.model, table_dtype="bfloat16"),
+        train=dataclasses.replace(sparse_cfg.train,
+                                  table_optimizer="rowwise_adagrad"))
+    model = SeqRecModel(cfg=cfg.model, schema=small_setup["schema"],
+                        fused=small_setup["fused"],
+                        usernum=small_setup["data"].usernum,
+                        itemnum=small_setup["data"].itemnum)
+    tables = device_tables(small_setup["tables"])
+    tx = make_optimizer(cfg)
+    state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    assert state.params["item_emb"].dtype == jnp.bfloat16
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.key(4)
+    batch = jax.device_put(_one_batch(small_setup, cfg))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch, tables["mm"], tables, key)
+        losses.append(float(m["loss"]))
+    assert state.params["item_emb"].dtype == jnp.bfloat16
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_group_scatter_apply_matches_xla(dtype, use_pallas):
+    """Packed group scatter (host plan -> merged [R, D] blocks ->
+    whole-group writes, XLA and interpret-Pallas variants) ==
+    .at[uids].set(mode='drop') on the unpacked view; sentinel uids
+    skipped; untouched slots of touched groups keep their old values.
+    (The real-TPU Pallas validation runs in the sparse bench.)"""
+    rng = np.random.default_rng(6)
+    V, D, K = 512, 64, 24          # V % 32 == 0; several uids share a group
+    R = ST.scatter_group_rows(dtype, D)
+    assert R == 16
+    table = jnp.asarray(rng.standard_normal((V, D)), dtype)
+    packed = table.reshape(V // R, 8, 128)
+    assert ST.is_packed(packed) and ST.table_rows(packed, D) == V
+    vals = jnp.asarray(rng.standard_normal((K, D)), dtype)
+    uids = np.full((K,), V, np.int64)          # sentinel-filled
+    real = np.sort(rng.choice(V, size=17, replace=False))
+    uids[:17] = real                           # sorted unique prefix
+    plan = ST.host_group_plan(uids, V, R)
+    assert plan["groups"].shape[0] % 8 == 0
+    assert plan["slot_src"].shape == (plan["groups"].shape[0], R)
+    want = np.asarray(table.at[jnp.asarray(uids)].set(vals, mode="drop"))
+    got3 = ST.group_scatter_apply(
+        packed, vals, {k: jnp.asarray(v) for k, v in plan.items()},
+        use_pallas=use_pallas, interpret=True)
+    got = np.asarray(got3).reshape(V, D)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), rtol=1e-6)
+
+
+def test_row_take_packed_matches_unpacked():
+    """row_take on the packed [V/R, 8, 128] view == plain row gather."""
+    rng = np.random.default_rng(11)
+    V, D = 2048, 64
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    packed = table.reshape(V // 16, 8, 128)
+    ids = jnp.asarray(rng.integers(0, V, size=(7, 33)))
+    np.testing.assert_allclose(
+        np.asarray(ST.row_take(packed, ids, dim=D)),
+        np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6)
+
+
+def test_gather_rows_grouped_and_scatter_roundtrip():
+    """Group gather == gather_rows on the touched uids, and the full
+    grouped update (gather -> new rows -> scatter reusing the gathered
+    buffer as old content) == the XLA row-scatter oracle."""
+    rng = np.random.default_rng(8)
+    V, D = 1024, 64
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    R = ST.scatter_group_rows(table.dtype, D)
+    packed = table.reshape(V // R, 8, 128)
+    uids_np = np.full((40,), V, np.int64)
+    uids_np[:23] = np.sort(rng.choice(V, size=23, replace=False))
+    uids = jnp.asarray(uids_np)
+    plan = {k: jnp.asarray(v)
+            for k, v in ST.host_group_plan(uids_np, V, R).items()}
+
+    gathered, group_buf = ST.gather_rows_grouped(packed, uids, plan, dim=D)
+    want_rows = ST.gather_rows(table, uids).rows
+    np.testing.assert_allclose(np.asarray(gathered.rows),
+                               np.asarray(want_rows), rtol=1e-6)
+
+    vals = jnp.asarray(rng.standard_normal((40, D)), jnp.float32)
+    got3 = ST.group_scatter_apply(packed, vals, plan, old3=group_buf,
+                                  use_pallas=True, interpret=True)
+    want = table.at[uids].set(vals, mode="drop")
+    np.testing.assert_allclose(np.asarray(got3).reshape(V, D),
+                               np.asarray(want), rtol=1e-6)
+
+
+def test_packed_table_step_matches_unpacked(small_setup, sparse_setup,
+                                            monkeypatch):
+    """The full product step on a PACKED table (host group plan -> grouped
+    gather -> GatheredRows loss -> grouped scatter) reproduces the
+    unpacked XLA-scatter step exactly, loss and table contents both."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        augment_batch_sparse, device_tables, init_state, make_optimizer,
+        make_train_step)
+
+    _, sparse_cfg = sparse_setup
+    cfg = sparse_cfg.replace(train=dataclasses.replace(
+        sparse_cfg.train, table_optimizer="rowwise_adagrad"))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, cfg)
+    key = jax.random.key(12)
+    D = cfg.model.hidden_units
+    V = model.itemnum + 1
+
+    # unpacked baseline
+    tx = make_optimizer(cfg)
+    state_u = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    table0 = np.asarray(state_u.params["item_emb"])
+    aug_u = jax.device_put(augment_batch_sparse(batch, cfg, model.itemnum,
+                                                (0, 7)))
+    step_u = make_train_step(model, tx, cfg)
+    losses_u = []
+    for _ in range(3):
+        state_u, m = step_u(state_u, aug_u, tables["mm"], tables, key)
+        losses_u.append(float(m["loss"]))
+
+    # packed twin: same initial table, padded + packed
+    monkeypatch.setattr(ST, "TABLE_PACK_MIN_ROWS", 1)
+    Vp = ST.padded_table_rows(V)
+    R = ST.scatter_group_rows(table0.dtype, D)
+    padded = np.zeros((Vp, D), table0.dtype)
+    padded[:V] = table0
+    packed = jnp.asarray(padded).reshape(Vp // R, 8, 128)
+    state_p = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    params = dict(state_p.params)
+    assert ST.is_packed(params["item_emb"])   # init packs under the patch
+    params["item_emb"] = packed               # align contents with baseline
+    opt = dict(state_p.opt_state)
+    state_p = type(state_p)(params, opt, state_p.step)
+    aug_p = jax.device_put(augment_batch_sparse(batch, cfg, model.itemnum,
+                                                (0, 7)))
+    assert "scatter_groups" in aug_p
+    step_p = make_train_step(model, tx, cfg)
+    losses_p = []
+    for _ in range(3):
+        state_p, m = step_p(state_p, aug_p, tables["mm"], tables, key)
+        losses_p.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_p, losses_u, rtol=1e-6)
+    got = np.asarray(state_p.params["item_emb"]).reshape(Vp, D)[:V]
+    np.testing.assert_allclose(got, np.asarray(state_u.params["item_emb"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_host_group_plan_contract():
+    """groups are unique + sentinel-padded; slot_src points each touched
+    (group, slot) at its uid's position; untouched slots carry K."""
+    V, R = 64 * 32, 16
+    uids = np.array([0, 1, 17, 18, 31, 900, V, V, V, V], np.int64)
+    plan = ST.host_group_plan(uids, V, R)
+    K = plan["groups"].shape[0]
+    nG = V // R
+    real_groups = plan["groups"][plan["groups"] < nG]
+    assert list(real_groups) == [0, 1, 56]     # 0//16, 17//16, 900//16
+    assert (plan["groups"][3:] == nG).all()
+    ss = plan["slot_src"]
+    assert ss[0, 0] == 0 and ss[0, 1] == 1 and ss[1, 1] == 2 \
+        and ss[1, 2] == 3 and ss[1, 15] == 4 and ss[2, 900 % 16] == 5
+    touched = ss < K
+    assert touched.sum() == 6                  # exactly the 6 real uids
