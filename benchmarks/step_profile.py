@@ -25,20 +25,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def timeit(fn, args, iters=10, warmup=3):
+def timeit(fn, args, iters=10, warmup=6):
+    """Slope-timed (two window sizes, value-fetch sync): leftover remote
+    compiles inside a timed loop read as 30x-slower stages otherwise."""
     import jax
+
+    def fetch(out):
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
 
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(4):
         out = fn(*args)
-    jax.block_until_ready(out)
-    # force a real value fetch (axon sync)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
-    return (time.perf_counter() - t0) / iters
+    fetch(out)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(4 + iters):
+        out = fn(*args)
+    fetch(out)
+    return (time.perf_counter() - t0 - t_small) / iters
 
 
 def flops_of(fn, *args):
@@ -92,15 +100,20 @@ def main():
     # sacrificial DEEP copy for the donated step (device_put of an
     # already-committed array aliases, and donation would delete `state`)
     s2 = jax.tree.map(jnp.copy, state)
-    for _ in range(3):
-        s2, metrics = step(s2, batch, tables["mm"], tables, key)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
+    for _ in range(6):
         s2, metrics = step(s2, batch, tables["mm"], tables, key)
     float(metrics["loss"])
-    results["full_step"] = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for _ in range(4):
+        s2, metrics = step(s2, batch, tables["mm"], tables, key)
+    float(metrics["loss"])
+    t_small = time.perf_counter() - t0
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(4 + iters):
+        s2, metrics = step(s2, batch, tables["mm"], tables, key)
+    float(metrics["loss"])
+    results["full_step"] = (time.perf_counter() - t0 - t_small) / iters
 
     params = state.params
 

@@ -25,6 +25,12 @@ Row optimizers:
 - ``rowwise_adagrad`` — per-ROW accumulator [V] (the production recsys
   choice, cf. TPU embedding APIs): 4 bytes/row of optimizer state, so a
   100M-row table carries 0.4 GB of state instead of 51 GB.
+
+Storage: tables >= TABLE_PACK_MIN_ROWS are PACKED [V/R, 8, 128]
+(packed_table_shape) — the compact-layout fix that keeps every table touch
+copy-free — and update via whole-group writes planned on the host
+(host_group_plan) and executed by the aliased Pallas DMA scatter
+(pallas_group_scatter). Smaller tables stay [V, D] with XLA row scatters.
 """
 
 from __future__ import annotations
