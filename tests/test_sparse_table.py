@@ -437,6 +437,33 @@ def test_packed_table_step_matches_unpacked(small_setup, sparse_setup,
                                rtol=1e-6, atol=1e-7)
 
 
+def test_packed_table_inference_matches_unpacked(small_setup, sparse_setup):
+    """The EVAL/serving path (masked_take -> row_take on a packed table,
+    no GatheredRows) produces identical encodings to the unpacked table."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer)
+
+    _, sparse_cfg = sparse_setup
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = jax.device_put(_one_batch(small_setup, sparse_cfg))
+    tx = make_optimizer(sparse_cfg)
+    state = init_state(model, tx, sparse_cfg.train.seed, cfg=sparse_cfg)
+    D = sparse_cfg.model.hidden_units
+    V = model.itemnum + 1
+    want = np.asarray(model.predict(state.params, batch, tables["mm"]))
+
+    R = ST.scatter_group_rows(jnp.float32, D)
+    Vp = -(-V // 32) * 32
+    table0 = np.asarray(state.params["item_emb"])
+    padded = np.zeros((Vp, D), table0.dtype)
+    padded[:V] = table0
+    params = dict(state.params)
+    params["item_emb"] = jnp.asarray(padded).reshape(Vp // R, 8, 128)
+    got = np.asarray(model.predict(params, batch, tables["mm"]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_host_group_plan_contract():
     """groups are unique + sentinel-padded; slot_src points each touched
     (group, slot) at its uid's position; untouched slots carry K."""
