@@ -464,6 +464,42 @@ def test_packed_table_inference_matches_unpacked(small_setup, sparse_setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_group_gather_matches_take():
+    """The fallback Pallas DMA group gather (not on the product path — XLA
+    dim-0 take measured faster on HW) == jnp.take on real groups; sentinel
+    groups' output blocks are skipped (never read)."""
+    rng = np.random.default_rng(13)
+    nG, S = 64, 8
+    table3 = jnp.asarray(rng.standard_normal((nG, S, 128)), jnp.float32)
+    K = 1024                                   # one SMEM id chunk
+    groups = np.full((K,), nG, np.int32)
+    real = rng.choice(nG, size=20, replace=False).astype(np.int32)
+    groups[:20] = real
+    out = np.asarray(ST.pallas_group_gather(table3, jnp.asarray(groups),
+                                            interpret=True))
+    want = np.asarray(jnp.take(table3, jnp.asarray(real), axis=0))
+    np.testing.assert_allclose(out[:20], want, rtol=1e-6)
+
+
+def test_packed_table_requires_sparse_and_no_mesh(small_setup, sparse_setup,
+                                                  monkeypatch):
+    """Guards: packed-scale tables must train sparsely, and packing is a
+    single-device layout (meshes row-shard instead)."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        make_optimizer, make_train_step)
+
+    monkeypatch.setattr(ST, "TABLE_PACK_MIN_ROWS", 1)
+    dense_cfg, sparse_cfg = sparse_setup
+    model = small_setup["model"]
+    tx = make_optimizer(dense_cfg)
+    with pytest.raises(AssertionError, match="sparse"):
+        make_train_step(model, tx, dense_cfg)
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    with pytest.raises(AssertionError, match="single-device"):
+        make_train_step(model, tx, sparse_cfg, mesh=mesh)
+
+
 def test_host_group_plan_contract():
     """groups are unique + sentinel-padded; slot_src points each touched
     (group, slot) at its uid's position; untouched slots carry K."""
