@@ -378,19 +378,28 @@ def test_gather_rows_grouped_and_scatter_roundtrip():
                                np.asarray(want), rtol=1e-6)
 
 
+@pytest.mark.parametrize("table_dtype", ["float32", "bfloat16"])
 def test_packed_table_step_matches_unpacked(small_setup, sparse_setup,
-                                            monkeypatch):
+                                            monkeypatch, table_dtype):
     """The full product step on a PACKED table (host group plan -> grouped
     gather -> GatheredRows loss -> grouped scatter) reproduces the
-    unpacked XLA-scatter step exactly, loss and table contents both."""
+    unpacked XLA-scatter step exactly, loss and table contents both —
+    f32 and the 50M-config bf16 master table."""
     from tencent_recommendation_2025_tpu.train.trainer import (
         augment_batch_sparse, device_tables, init_state, make_optimizer,
         make_train_step)
 
     _, sparse_cfg = sparse_setup
-    cfg = sparse_cfg.replace(train=dataclasses.replace(
-        sparse_cfg.train, table_optimizer="rowwise_adagrad"))
-    model = small_setup["model"]
+    cfg = sparse_cfg.replace(
+        model=dataclasses.replace(sparse_cfg.model, table_dtype=table_dtype),
+        train=dataclasses.replace(
+            sparse_cfg.train, table_optimizer="rowwise_adagrad"))
+    from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
+
+    base = small_setup["model"]
+    model = SeqRecModel(cfg=cfg.model, schema=small_setup["schema"],
+                        fused=small_setup["fused"],
+                        usernum=base.usernum, itemnum=base.itemnum)
     tables = device_tables(small_setup["tables"])
     batch = _one_batch(small_setup, cfg)
     key = jax.random.key(12)
