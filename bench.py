@@ -100,7 +100,7 @@ def main():
     pairs = L * (L + 1) / 2 * B
     attn_flops = pairs * H * (2 * 2 * hd) * blocks * 3  # fwd + ~2x bwd
     total_flops = flops + attn_flops
-    peak = 197e12 if jax.devices()[0].platform == "tpu" else 197e12
+    peak = 197e12  # v5e bf16; mfu is only meaningful on the TPU backend
     step_time = dt
     mfu = total_flops / step_time / (peak * jax.device_count())
     print(json.dumps({

@@ -112,7 +112,7 @@ def main():
     # beyond ~1M rows (129 s/step @8M f32) — small-table/test use only
     configs = [(10_000_000, "rowwise_adagrad", "float32")]
     if "--big" in sys.argv:
-        # all >=1M-row tables store PACKED [V/16, 8, 128] (copy-free
+        # >=30M-row tables store PACKED [V/16, 8, 128] (copy-free
         # layout) and scatter via the aliased Pallas group kernel; 50M
         # additionally needs the bf16 master table to fit 16G HBM
         configs += [(20_000_000, "rowwise_adagrad", "float32"),

@@ -29,6 +29,7 @@
 #include <fcntl.h>
 #include <map>
 #include <memory>
+#include <sys/mman.h>
 #include <set>
 #include <string>
 #include <thread>
@@ -354,19 +355,27 @@ int main(int argc, char** argv) {
   const int64_t nus = int64_t(schema.user_sparse.size());
   const int64_t nua = int64_t(schema.user_array.size());
 
-  // read the jsonl, index line offsets (one user per line)
-  FILE* f = fopen(seq_path.c_str(), "rb");
-  if (!f) { fprintf(stderr, "cannot open %s\n", seq_path.c_str()); return 2; }
-  fseek(f, 0, SEEK_END);
-  long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::string data;
-  data.resize(size_t(fsize));
-  if (fread(data.data(), 1, size_t(fsize), f) != size_t(fsize)) {
-    fprintf(stderr, "short read\n");
+  // mmap the jsonl and index line offsets (one user per line). mmap, not
+  // read-into-memory: at the 100M-user scale the jsonl is tens of GB, and
+  // the file is only scanned sequentially — the page cache keeps resident
+  // memory bounded, preserving the O(threads * row) claim above
+  int seq_fd = open(seq_path.c_str(), O_RDONLY);
+  if (seq_fd < 0) {
+    fprintf(stderr, "cannot open %s\n", seq_path.c_str());
     return 2;
   }
-  fclose(f);
+  off_t fsize = lseek(seq_fd, 0, SEEK_END);
+  const char* fdata = static_cast<const char*>(
+      mmap(nullptr, size_t(fsize), PROT_READ, MAP_PRIVATE, seq_fd, 0));
+  if (fdata == MAP_FAILED) { fprintf(stderr, "mmap failed\n"); return 2; }
+  madvise(const_cast<char*>(fdata), size_t(fsize), MADV_SEQUENTIAL);
+  struct DataView {
+    const char* p;
+    size_t n;
+    char operator[](size_t i) const { return p[i]; }
+    size_t size() const { return n; }
+    const char* data() const { return p; }
+  } data{fdata, size_t(fsize)};
   std::vector<std::pair<size_t, size_t>> lines;  // (start, len)
   size_t start = 0;
   for (size_t i2 = 0; i2 < data.size(); ++i2) {

@@ -102,13 +102,33 @@ def build_config(args):
 def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
-    if cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq > 1:
-        # a mesh row-shards big tables across devices; packed single-chip
-        # storage (ModelConfig.pack_big_tables) is the single-device answer
-        import dataclasses
 
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, pack_big_tables=False))
+    # Decide the mesh BEFORE constructing the model: a mesh row-shards big
+    # tables across devices, so packed single-chip storage
+    # (ModelConfig.pack_big_tables) turns off — but only when the mesh will
+    # actually be built; if the preset wants devices this host lacks, the
+    # run falls back to single-device and must KEEP packing (unpacked
+    # >=30M-row tables OOM on the staged layout copies).
+    import jax
+
+    mesh = None
+    want = cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
+    if want > 1:
+        if jax.device_count() >= \
+                cfg.mesh.pipe * cfg.mesh.model * cfg.mesh.seq and \
+                jax.device_count() > 1:
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(cfg.mesh)
+            print(f"mesh: {dict(mesh.shape)} over "
+                  f"{jax.device_count()} devices")
+            import dataclasses
+
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, pack_big_tables=False))
+        else:
+            print(f"WARNING: preset wants {want} devices but only "
+                  f"{jax.device_count()} present — training single-device")
 
     from ..config import EnvPaths
     from ..data.dataset import TrainSampler
@@ -196,23 +216,8 @@ def main(argv=None):
         print("inference_only: skipping training")
         return None
 
-    # Multi-device: build the (pipe, data, model, seq) mesh from the config
-    # and run the sharded path (the reference is single-device, main.py:32).
-    mesh = None
-    want = cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
-    if want > 1:
-        if jax.device_count() >= \
-                cfg.mesh.pipe * cfg.mesh.model * cfg.mesh.seq and \
-                jax.device_count() > 1:
-            from ..parallel.mesh import build_mesh
-
-            mesh = build_mesh(cfg.mesh)
-            print(f"mesh: {dict(mesh.shape)} over "
-                  f"{jax.device_count()} devices")
-        else:
-            print(f"WARNING: preset wants {want} devices but only "
-                  f"{jax.device_count()} present — training single-device")
-
+    # (mesh was decided at the top of main, before model construction —
+    # the sharded path replaces the reference's single-device main.py:32)
     state = train_loop(model, cfg, train_loader, valid_loader, tables,
                        log_dir=env.train_log_path,
                        tb_dir=env.train_tf_events_path,

@@ -39,7 +39,7 @@ class ModelConfig:
     # the table, raising the single-chip sparse-table ceiling to 50M+
     # rows; other params stay float32
     table_dtype: str = "float32"
-    # store >=1M-row tables PACKED [V/R, 8, 128] (tile-compact layout; any
+    # store >=30M-row tables PACKED [V/R, 8, 128] (tile-compact layout; any
     # XLA op on a huge [V, 64] table stages a lane-padded 2x copy of the
     # whole thing). cli.train turns this off when a mesh shards the table
     # instead (per-shard slices stay [rows, D])

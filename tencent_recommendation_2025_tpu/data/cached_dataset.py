@@ -46,28 +46,30 @@ class PackedCache:
         rng = np.random.default_rng(0)  # fixed fields ignore the rng
 
         def build(uid):
-            return sampler.sample(uid, np.random.default_rng((0, uid)))
+            return sampler.sample(uid, np.random.default_rng((0, uid)),
+                                  return_seen=True)
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            samples = list(pool.map(build, range(n)))
+            pairs = list(pool.map(build, range(n)))
+        samples = [p[0] for p in pairs]
 
         self.fields: Dict[str, np.ndarray] = {}
         for name in _FIXED_FIELDS:
             self.fields[name] = np.stack([getattr(s, name) for s in samples])
 
-        # membership structure for vectorized rejection: open-addressing-free
-        # hashed bitset per user ("seen" = items in seq plus positives)
+        # membership structure for vectorized rejection. "seen" is the
+        # FULL-history item set (reference ts, dataset.py:137-141), not the
+        # maxlen window — a user with a long history must not get pre-window
+        # items as negatives (the native loader's CSR uses full history too)
         self.hash_size = seen_hash_size
         self.seen_hash = np.zeros((n, seen_hash_size), dtype=bool)
-        for u, s in enumerate(samples):
-            items = np.concatenate([s.seq[s.token_type == 1],
-                                    s.pos[s.pos > 0]])
-            items = items[items > 0]
-            self.seen_hash[u, items % seen_hash_size] = True
+        for u, (_, seen) in enumerate(pairs):
+            items = np.fromiter((i for i in seen if i > 0), np.int64,
+                                count=-1)
+            if len(items):
+                self.seen_hash[u, items % seen_hash_size] = True
         # exact seen sets for the (rare) hash-hit verification
-        self.seen_sets = [frozenset(np.concatenate(
-            [s.seq[s.token_type == 1], s.pos[s.pos > 0]]).tolist()) - {0}
-            for s in samples]
+        self.seen_sets = [frozenset(seen) - {0} for _, seen in pairs]
 
         self.neg_ok = sampler._neg_ok.copy()
         self.valid_ids = np.nonzero(self.neg_ok)[0]

@@ -99,7 +99,13 @@ class TrainSampler:
             t = int(rng.integers(1, self.itemnum + 1))
         return t
 
-    def sample(self, uid: int, rng: np.random.Generator) -> TrainSample:
+    def sample(self, uid: int, rng: np.random.Generator,
+               return_seen: bool = False) -> TrainSample:
+        """``return_seen=True`` additionally returns the FULL-history seen
+        set used for negative rejection (reference ``ts``,
+        ``model/BaseLine/dataset.py:137-141`` — built from the whole
+        ext_user_sequence, NOT the maxlen window; cached loaders must
+        reject against this same set to match)."""
         sch = self.schema
         L, cap = self.L, sch.array_cap
         nis, nia = len(S.ITEM_SPARSE_IDS), len(S.ITEM_ARRAY_IDS)
@@ -122,7 +128,7 @@ class TrainSampler:
             pos_item_array=np.zeros((L, nia, cap), np.int32),
         )
         if not ext:
-            return s
+            return (s, set()) if return_seen else s
 
         seen = {t[0] for t in ext if t[2] == 1 and t[0]}
         nxt = ext[-1]
@@ -156,7 +162,7 @@ class TrainSampler:
             idx -= 1
             if idx == -1:
                 break
-        return s
+        return (s, seen) if return_seen else s
 
 
 class TestSampler:

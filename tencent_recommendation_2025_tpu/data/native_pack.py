@@ -116,7 +116,22 @@ def load_native_cache(cache_dir: Path, sampler: TrainSampler) -> PackedCache:
 
 def build_packed_cache_native(sampler: TrainSampler, cache_dir: Path,
                               threads: int = 16) -> PackedCache:
-    """One-call native path: pack with the C++ tool, load as a PackedCache."""
+    """One-call native path: pack with the C++ tool, load as a PackedCache.
+
+    An existing cache_dir with a consistent meta.json is REUSED (that's the
+    point of the on-disk layout — cli.train keys the dir by maxlen);
+    anything inconsistent is repacked."""
+    cache_dir = Path(cache_dir)
+    meta_path = cache_dir / "meta.json"
+    if meta_path.exists():
+        try:
+            meta = json.loads(meta_path.read_text())
+            if meta.get("L") == sampler.maxlen + 1 and \
+                    meta.get("num_users") == len(sampler) and \
+                    meta.get("array_cap") == sampler.schema.array_cap:
+                return load_native_cache(cache_dir, sampler)
+        except (ValueError, OSError, AssertionError):
+            pass  # unreadable/partial cache: repack below
     run_native_pack(sampler.data.seq.jsonl_path, cache_dir, sampler.schema,
                     sampler.maxlen, threads=threads)
     return load_native_cache(cache_dir, sampler)

@@ -59,11 +59,21 @@ def _emb_init(key, rows, dim, dtype=jnp.float32):
 def _packed_emb_init(key, packed_shape, rows, dim, dtype):
     """Init a PACKED [V/R, 8, 128] table in place (no [V, D] staging —
     generating then repacking would transiently hold two giant copies).
-    xavier std comes from the LOGICAL (rows, dim) fan."""
+    xavier std comes from the LOGICAL (rows, dim) fan. Row 0 (padding id)
+    AND the <=31 physical pad rows beyond ``rows`` zero out — eval's
+    l2_emb_penalty norms the raw array, so 'pad rows are never read' must
+    actually hold."""
     std = (2.0 / (rows + dim)) ** 0.5
     w = jax.random.normal(key, packed_shape, jnp.dtype(dtype)) * std
-    # padding row 0 = group 0, sublane 0, first `dim` lanes
-    return w.at[0, 0, :dim].set(0.0)
+    per = 128 // dim                 # rows per sublane
+    R = 8 * per
+    # logical row of element [g, s, l] = g*R + s*per + l//dim
+    g = jax.lax.broadcasted_iota(jnp.int32, packed_shape, 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, packed_shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, packed_shape, 2)
+    row = g * R + s * per + lane // dim
+    keep = jnp.logical_and(row > 0, row < rows)
+    return jnp.where(keep, w, 0).astype(jnp.dtype(dtype))
 
 
 def linear_init(key, d_in, d_out):

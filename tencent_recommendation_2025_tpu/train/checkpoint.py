@@ -167,6 +167,11 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
     return best
 
 
+# config keys that change only STORAGE layout, not the trained function —
+# checkpoints convert across them (see _convert_layout)
+_LAYOUT_KEYS = ("pack_big_tables",)
+
+
 def _check_config(meta: dict, model_config) -> None:
     want = _config_dict(model_config)
     have = meta.get("model_config")
@@ -174,7 +179,7 @@ def _check_config(meta: dict, model_config) -> None:
         return
     skew = {k: (have.get(k), want.get(k))
             for k in set(have) | set(want)
-            if have.get(k) != want.get(k)}
+            if have.get(k) != want.get(k) and k not in _LAYOUT_KEYS}
     if skew:
         detail = ", ".join(f"{k}: ckpt={a!r} vs model={b!r}"
                            for k, (a, b) in sorted(skew.items()))
@@ -183,11 +188,49 @@ def _check_config(meta: dict, model_config) -> None:
             " (the reference's train/infer skew landmine, caught loudly)")
 
 
+def _convert_layout(arr: np.ndarray, tshape) -> Optional[np.ndarray]:
+    """Host-side conversion between a big table's two STORAGE layouts:
+    logical [V, D] (mesh/unpacked runs) <-> packed [V/R, 8, 128] with <=31
+    zero pad rows (single-chip runs; ops/sparse_table.packed_table_shape).
+    Returns None when the shapes aren't that pair — the caller then raises
+    its architecture-skew error. Covers the per-row 1-D optimizer state
+    too (pad-row count difference only)."""
+    tshape = tuple(tshape)
+    if len(tshape) == 3 and tshape[1:] == (8, 128) and arr.ndim == 2:
+        V, D = arr.shape                       # unpacked ckpt -> packed
+        if D <= 128 and 128 % D == 0:
+            R = 8 * (128 // D)
+            rows = tshape[0] * R
+            if 0 <= rows - V < 32:
+                out = np.zeros((rows, D), arr.dtype)
+                out[:V] = arr
+                return out.reshape(tshape)
+    if arr.ndim == 3 and arr.shape[1:] == (8, 128) and len(tshape) == 2:
+        V, D = tshape                          # packed ckpt -> unpacked
+        if D <= 128 and 128 % D == 0:
+            R = 8 * (128 // D)
+            rows = arr.shape[0] * R
+            if 0 <= rows - V < 32:
+                return np.ascontiguousarray(arr.reshape(rows, D)[:V])
+    if arr.ndim == 1 and len(tshape) == 1 and \
+            0 < abs(arr.shape[0] - tshape[0]) < 32 and \
+            max(arr.shape[0], tshape[0]) % 32 == 0:
+        # rowwise accumulator across the pad-row boundary (configs already
+        # matched — only the physical row padding differs)
+        out = np.zeros(tshape, arr.dtype)
+        n = min(arr.shape[0], tshape[0])
+        out[:n] = arr[:n]
+        return out
+    return None
+
+
 def load_checkpoint(path, target: Any, model_config=None) -> Tuple[Any, dict]:
     """Restore ``target``-shaped state from a checkpoint directory.
 
     New layout: leaves match by TREE PATH (manifest) with shape+dtype checks;
     ``model_config`` (if given) is verified against the saved meta first.
+    Big tables convert between their packed and unpacked storage layouts
+    (train on a mesh, serve single-chip, or vice versa — _convert_layout).
     Legacy layout (single msgpack blob): positional restore with shape guard.
     """
     path = Path(path)
@@ -215,10 +258,13 @@ def load_checkpoint(path, target: Any, model_config=None) -> Tuple[Any, dict]:
         for e, (p, t) in zip(saved, flat):
             arr = np.load(path / e["file"])
             if tuple(arr.shape) != tuple(np.shape(t)):
-                raise ValueError(
-                    f"checkpoint leaf {p!r} shape {arr.shape} != model "
-                    f"shape {np.shape(t)} — architecture config skew "
-                    "(check hidden_units/num_blocks/num_heads/maxlen)")
+                conv = _convert_layout(arr, np.shape(t))
+                if conv is None:
+                    raise ValueError(
+                        f"checkpoint leaf {p!r} shape {arr.shape} != model "
+                        f"shape {np.shape(t)} — architecture config skew "
+                        "(check hidden_units/num_blocks/num_heads/maxlen)")
+                arr = conv
             leaves.append(arr.astype(np.dtype(
                 t.dtype if hasattr(t, "dtype") else arr.dtype)))
         return jax.tree.unflatten(treedef, leaves), meta

@@ -199,7 +199,7 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
     if packed_table_shape(model.itemnum + 1, cfg.model.hidden_units) \
             and cfg.model.pack_big_tables:
         assert sparse, (
-            "tables at packed scale (>=1M rows) must train sparsely: dense "
+            "tables at packed scale (>=30M rows) must train sparsely: dense "
             "gradients on a packed table would scatter-add row fragments; "
             "set train.sparse_tables=('item_emb',) or pack_big_tables=False")
         assert mesh is None, (

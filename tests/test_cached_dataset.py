@@ -39,6 +39,32 @@ def test_vectorized_negatives_are_valid(small_setup):
             assert cache.neg_ok[n]
 
 
+def test_negative_rejection_uses_full_history(small_setup):
+    """The rejection set is the reference's ``ts`` (the WHOLE
+    ext_user_sequence, dataset.py:137-141), not the maxlen window — with a
+    tiny window, pre-window items must still never be drawn as negatives."""
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=3)          # force windows << history
+    cache = PackedCache(sampler, num_workers=4)
+    widened = 0
+    for uid in range(len(cache)):
+        s, full_seen = sampler.sample(uid, np.random.default_rng((0, uid)),
+                                      return_seen=True)
+        window = set(s.seq[s.token_type == 1].tolist()) \
+            | set(s.pos[s.pos > 0].tolist())
+        window -= {0}
+        assert cache.seen_sets[uid] == frozenset(full_seen) - {0}
+        widened += len((frozenset(full_seen) - {0}) - window)
+    assert widened > 0, "fixture too short to exercise pre-window history"
+
+    rng = np.random.default_rng(2)
+    uids = np.arange(len(cache))
+    neg = cache.sample_negatives(uids, rng)
+    for b, uid in enumerate(uids):
+        for l in np.nonzero(neg[b])[0]:
+            assert int(neg[b, l]) not in cache.seen_sets[uid]
+
+
 def test_cached_loader_batches(small_setup):
     sampler = TrainSampler(small_setup["data"], small_setup["schema"],
                            maxlen=20)

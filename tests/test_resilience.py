@@ -153,6 +153,41 @@ def test_load_rejects_structure_change(small_setup, tmp_path):
         CK.load_checkpoint(CK.latest_checkpoint(tmp_path), bigger)
 
 
+def test_checkpoint_converts_between_table_layouts(tmp_path):
+    """A big table checkpointed in one STORAGE layout restores into the
+    other: mesh runs save logical [V, D] (pack_big_tables=False), single-
+    chip runs store packed [V/16, 8, 128] — contents must transfer both
+    ways (plus the 1-D rowwise accumulator across the pad rows)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tencent_recommendation_2025_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(3)
+    V, D = 100, 64                     # packs to (8, 8, 128) = 128 rows
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    cfg_u = ModelConfig(pack_big_tables=False)
+    cfg_p = dataclasses.replace(cfg_u, pack_big_tables=True)
+
+    state_u = {"item_emb": jnp.asarray(table), "acc": jnp.ones((V,))}
+    CK.save_checkpoint(tmp_path / "u", state_u, global_step=1,
+                       model_config=cfg_u)
+    target_p = {"item_emb": jnp.zeros((8, 8, 128)),
+                "acc": jnp.zeros((128,))}
+    got_p, _ = CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "u"),
+                                  target_p, model_config=cfg_p)
+    unpacked = np.asarray(got_p["item_emb"]).reshape(128, D)
+    np.testing.assert_allclose(unpacked[:V], table)
+    assert (unpacked[V:] == 0).all()
+    assert (np.asarray(got_p["acc"])[:V] == 1).all()
+
+    CK.save_checkpoint(tmp_path / "p", got_p, global_step=1,
+                       model_config=cfg_p)
+    got_u, _ = CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "p"),
+                                  state_u, model_config=cfg_u)
+    np.testing.assert_allclose(np.asarray(got_u["item_emb"]), table)
+    assert (np.asarray(got_u["acc"]) == 1).all()
+
+
 def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
     model, cfg, loader, tables, tx, step = _setup(small_setup)
     template = init_state(model, tx, cfg.train.seed)
