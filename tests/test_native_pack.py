@@ -38,6 +38,21 @@ def test_native_seen_sets_match_python(sampler, tmp_path):
     np.testing.assert_array_equal(py.neg_ok, nat.neg_ok)
 
 
+def test_native_cache_is_reused(sampler, tmp_path):
+    """A consistent on-disk cache is loaded, not re-packed — the point of
+    the persistent layout (cli.train keys the dir by maxlen)."""
+    import os
+
+    nat1 = NP.build_packed_cache_native(sampler, tmp_path / "cache",
+                                        threads=4)
+    stamp = os.stat(tmp_path / "cache" / "seq.bin").st_mtime_ns
+    nat2 = NP.build_packed_cache_native(sampler, tmp_path / "cache",
+                                        threads=4)
+    assert os.stat(tmp_path / "cache" / "seq.bin").st_mtime_ns == stamp
+    for name in nat1.fields:
+        np.testing.assert_array_equal(nat1.fields[name], nat2.fields[name])
+
+
 def test_native_cache_batches(sampler, tmp_path):
     """The loaded cache drives the normal batching path (negatives valid)."""
     nat = NP.build_packed_cache_native(sampler, tmp_path / "cache",
