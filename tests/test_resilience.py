@@ -188,6 +188,25 @@ def test_checkpoint_converts_between_table_layouts(tmp_path):
     assert (np.asarray(got_u["acc"]) == 1).all()
 
 
+def test_layout_conversion_rejects_genuine_skew(tmp_path):
+    """_convert_layout only bridges the pad-row/packing boundary — truly
+    different shapes still raise the architecture-skew error."""
+    import jax.numpy as jnp
+
+    state = {"item_emb": jnp.zeros((100, 64)), "acc": jnp.zeros((100,))}
+    CK.save_checkpoint(tmp_path, state, global_step=1)
+    ckpt = CK.latest_checkpoint(tmp_path)
+    with pytest.raises(ValueError, match="shape"):
+        CK.load_checkpoint(ckpt, {"item_emb": jnp.zeros((16, 8, 128)),
+                                  "acc": jnp.zeros((100,))})  # 2x rows
+    with pytest.raises(ValueError, match="shape"):
+        CK.load_checkpoint(ckpt, {"item_emb": jnp.zeros((100, 64)),
+                                  "acc": jnp.zeros((160,))})  # diff >= 32
+    with pytest.raises(ValueError, match="shape"):
+        CK.load_checkpoint(ckpt, {"item_emb": jnp.zeros((100, 64)),
+                                  "acc": jnp.zeros((120,))})  # not 32-padded
+
+
 def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
     model, cfg, loader, tables, tx, step = _setup(small_setup)
     template = init_state(model, tx, cfg.train.seed)
