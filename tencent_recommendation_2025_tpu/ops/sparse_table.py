@@ -559,6 +559,12 @@ def gather_rows_grouped(table3: jnp.ndarray, uids: jnp.ndarray,
     return GatheredRows(uids=uids, rows=rows, plans=plans or {}), group_buf
 
 
+_SCATTER_CHUNK_GROUPS = 65536   # bound the merge temporaries (picked/old/
+#                                 arranged) to ~chunk x 2KB instead of
+#                                 O(K) — matters when the table itself
+#                                 already fills most of HBM (100M rows)
+
+
 def group_scatter_apply(buf3: jnp.ndarray, vals: jnp.ndarray,
                         group_plan: Dict, old3: jnp.ndarray = None,
                         interpret: bool = False,
@@ -571,7 +577,9 @@ def group_scatter_apply(buf3: jnp.ndarray, vals: jnp.ndarray,
     393K touched rows), or an XLA dim-0 scatter elsewhere.
 
     Pass ``old3`` (the group buffer from :func:`gather_rows_grouped`)
-    whenever the groups were already gathered this step."""
+    whenever the groups were already gathered this step. The merge runs in
+    _SCATTER_CHUNK_GROUPS-sized chunks, each scattering through its own
+    aliased kernel call, so peak temporaries stay O(chunk) not O(K)."""
     assert is_packed(buf3), buf3.shape
     groups, slot_src = group_plan["groups"], group_plan["slot_src"]
     K, R = slot_src.shape
@@ -579,19 +587,29 @@ def group_scatter_apply(buf3: jnp.ndarray, vals: jnp.ndarray,
     assert R * D == 8 * 128, (R, D)
     vals_ext = jnp.concatenate(
         [vals.astype(buf3.dtype), jnp.zeros((1, D), buf3.dtype)])
-    picked = jnp.take(vals_ext, jnp.minimum(slot_src, K), axis=0,
-                      mode="clip")                          # [K, R, D]
-    if old3 is None:
-        old3 = jnp.take(buf3, groups, axis=0, mode="clip")  # [K, 8, 128]
-    touched = (slot_src < K)[..., None]
-    arranged = jnp.where(touched, picked,
-                         old3.reshape(K, R, D)).reshape(K, 8, 128)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return pallas_group_scatter(buf3, groups, arranged,
-                                    interpret=interpret)
-    return buf3.at[groups].set(arranged, mode="drop")
+    step = max(_SCATTER_CSC,
+               min(K, -(-_SCATTER_CHUNK_GROUPS // _SCATTER_CSC)
+                   * _SCATTER_CSC))
+    for lo in range(0, K, step):
+        hi = min(lo + step, K)
+        g = groups[lo:hi]
+        ss = slot_src[lo:hi]
+        picked = jnp.take(vals_ext, jnp.minimum(ss, K), axis=0,
+                          mode="clip")                      # [k, R, D]
+        old = old3[lo:hi] if old3 is not None \
+            else jnp.take(buf3, g, axis=0, mode="clip")     # [k, 8, 128]
+        touched = (ss < K)[..., None]
+        arranged = jnp.where(touched, picked,
+                             old.reshape(hi - lo, R, D)) \
+            .reshape(hi - lo, 8, 128)
+        if use_pallas:
+            buf3 = pallas_group_scatter(buf3, g, arranged,
+                                        interpret=interpret)
+        else:
+            buf3 = buf3.at[g].set(arranged, mode="drop")
+    return buf3
 
 
 def scatter_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,

@@ -473,6 +473,30 @@ def test_packed_table_inference_matches_unpacked(small_setup, sparse_setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_group_scatter_apply_chunked(monkeypatch):
+    """The chunked merge (one aliased kernel call per chunk, bounding the
+    temporaries) == the XLA row-scatter oracle across chunk boundaries."""
+    monkeypatch.setattr(ST, "_SCATTER_CHUNK_GROUPS", 1024)
+    rng = np.random.default_rng(17)
+    V, D = 64 * 512, 64            # room for >1024 distinct groups
+    R = ST.scatter_group_rows(jnp.float32, D)
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    packed = table.reshape(V // R, 8, 128)
+    n_real = 1500                  # spans two 1024-group chunks
+    uids_np = np.sort(rng.choice(V, size=n_real, replace=False))
+    uids_full = np.full((n_real + 36,), V, np.int64)
+    uids_full[:n_real] = uids_np
+    vals = jnp.asarray(rng.standard_normal((len(uids_full), D)), jnp.float32)
+    plan = {k: jnp.asarray(v)
+            for k, v in ST.host_group_plan(uids_full, V, R).items()}
+    assert plan["groups"].shape[0] > 1024    # really multi-chunk
+    got3 = ST.group_scatter_apply(packed, vals, plan, use_pallas=True,
+                                  interpret=True)
+    want = table.at[jnp.asarray(uids_full)].set(vals, mode="drop")
+    np.testing.assert_allclose(np.asarray(got3).reshape(V, D),
+                               np.asarray(want), rtol=1e-6)
+
+
 def test_pallas_group_gather_matches_take():
     """The fallback Pallas DMA group gather (not on the product path — XLA
     dim-0 take measured faster on HW) == jnp.take on real groups; sentinel
