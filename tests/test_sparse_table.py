@@ -378,9 +378,13 @@ def test_gather_rows_grouped_and_scatter_roundtrip():
                                np.asarray(want), rtol=1e-6)
 
 
-@pytest.mark.parametrize("table_dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("table_dtype,table_optimizer",
+                         [("float32", "rowwise_adagrad"),
+                          ("bfloat16", "rowwise_adagrad"),
+                          ("float32", "lazy_adam")])
 def test_packed_table_step_matches_unpacked(small_setup, sparse_setup,
-                                            monkeypatch, table_dtype):
+                                            monkeypatch, table_dtype,
+                                            table_optimizer):
     """The full product step on a PACKED table (host group plan -> grouped
     gather -> GatheredRows loss -> grouped scatter) reproduces the
     unpacked XLA-scatter step exactly, loss and table contents both —
@@ -393,7 +397,7 @@ def test_packed_table_step_matches_unpacked(small_setup, sparse_setup,
     cfg = sparse_cfg.replace(
         model=dataclasses.replace(sparse_cfg.model, table_dtype=table_dtype),
         train=dataclasses.replace(
-            sparse_cfg.train, table_optimizer="rowwise_adagrad"))
+            sparse_cfg.train, table_optimizer=table_optimizer))
     from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
 
     base = small_setup["model"]
