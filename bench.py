@@ -25,6 +25,28 @@ BENCH_BASELINE = 272.71
 
 
 def main():
+    # Probe backend init under a deadline FIRST: when the axon tunnel is
+    # down, jax.devices() hangs indefinitely (observed 2026-08-18, >3h
+    # outage) — emit a diagnosable JSON line instead of hanging the driver.
+    import concurrent.futures as _cf
+
+    def _init():
+        import jax
+
+        return str(jax.devices())
+
+    with _cf.ThreadPoolExecutor(1) as _ex:
+        try:
+            _ex.submit(_init).result(timeout=240)
+        except _cf.TimeoutError:
+            print(json.dumps({
+                "metric": "flagship_train_step", "value": 0,
+                "unit": "examples/s/chip", "vs_baseline": 0,
+                "error": "backend init timed out (axon tunnel down?)"}),
+                flush=True)
+            import os
+
+            os._exit(3)
     import jax
 
     # Persistent compile cache: the flagship step takes minutes through the
