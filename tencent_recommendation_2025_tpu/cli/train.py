@@ -111,6 +111,11 @@ def main(argv=None):
     # >=30M-row tables OOM on the staged layout copies).
     import jax
 
+    # counter-based RBG PRNG, matching bench.py: threefry dropout-mask
+    # generation is pure VPU work and measures at ~10% of the flagship step
+    # — the product CLI must run the same PRNG the benchmarks run
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     mesh = None
     want = cfg.mesh.pipe * cfg.mesh.data * cfg.mesh.model * cfg.mesh.seq
     if want > 1:

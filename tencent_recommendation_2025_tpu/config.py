@@ -45,6 +45,10 @@ class ModelConfig:
     # instead (per-shard slices stay [rows, D])
     pack_big_tables: bool = True
     use_flash_attention: bool = True  # Pallas fused attention kernel when shapes allow
+    # fully-fused whole-block kernel (ops/fused_block.py): LNs + projections
+    # + attention + gating + dropout + FFN in one Pallas kernel per block
+    # (single-chip HSTU/SwiGLU at L<=1024); falls back automatically
+    fused_block: bool = True
     remat_blocks: bool = True        # jax.checkpoint each scanned block in training
     # Faithful reference init zeroes every 1-D param INCLUDING LayerNorm
     # scales (reference main.py:95-102); sane init uses scale 1. Parity
@@ -64,6 +68,13 @@ class FeatureConfig:
 class TrainConfig:
     batch_size: int = 64
     lr: float = 1e-3
+    # Schedule (reference uses a constant lr — these default to it). The
+    # single source of truth is trainer.lr_at_step: the optax schedule AND
+    # the LearningRate telemetry both derive from it, so the logged value
+    # can never diverge from what the optimizer applies.
+    lr_schedule: str = "constant"    # "constant" | "cosine"
+    lr_warmup_steps: int = 0
+    lr_total_steps: int = 0          # cosine horizon (0 = no decay)
     num_epochs: int = 5
     l2_emb: float = 1e-3             # BaseLine: explicit L2 penalty on item table
     # The reference BaseLine uses torch.optim.AdamW with its DEFAULT

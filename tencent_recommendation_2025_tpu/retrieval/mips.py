@@ -117,7 +117,10 @@ def sharded_topk_mips(mesh, queries: jnp.ndarray, corpus: jnp.ndarray,
 @functools.lru_cache(maxsize=32)
 def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int):
     """Cached jitted shard_map body (one compile per mesh/shape combo, not
-    per call — retrieve_topk calls this per query batch)."""
+    per call — retrieve_topk calls this per query batch). Keying on the Mesh
+    is safe for long-lived serving: jax.sharding.Mesh hashes by device layout
+    + axis names, so a REBUILT mesh with identical devices hits this cache
+    (verified on jax in this image)."""
     from jax.sharding import PartitionSpec as P
 
     axes = tuple(mesh.axis_names)

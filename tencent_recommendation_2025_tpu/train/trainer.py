@@ -44,12 +44,77 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def lr_at_step(tcfg, step):
+    """Learning rate at a (possibly traced) global step.
+
+    The SINGLE source of truth for the lr: ``make_optimizer`` builds its
+    optax schedule from this and telemetry emits this, so the logged
+    ``LearningRate/*`` scalar can never silently diverge from what the
+    optimizer applies. Defaults reproduce the reference's constant lr
+    (``model/BaseLine/main.py:131``)."""
+    lr = jnp.asarray(tcfg.lr, jnp.float32)
+    if tcfg.lr_warmup_steps > 0:
+        lr = lr * jnp.minimum(step / tcfg.lr_warmup_steps, 1.0)
+    if tcfg.lr_schedule == "cosine" and tcfg.lr_total_steps > 0:
+        span = max(1, tcfg.lr_total_steps - tcfg.lr_warmup_steps)
+        t = jnp.clip((step - tcfg.lr_warmup_steps) / span, 0.0, 1.0)
+        lr = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    return lr
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    constant = t.lr_schedule == "constant" and t.lr_warmup_steps == 0
+    # plain float when constant (keeps the optax state structure — and hence
+    # the checkpoint layout — schedule-free for the reference-parity configs)
+    sched = t.lr if constant else (lambda s: lr_at_step(t, s))
     if t.weight_decay > 0.0:
-        return optax.adamw(t.lr, b1=t.adam_b1, b2=t.adam_b2,
+        return optax.adamw(sched, b1=t.adam_b1, b2=t.adam_b2,
                            weight_decay=t.weight_decay)
-    return optax.adam(t.lr, b1=t.adam_b1, b2=t.adam_b2)
+    return optax.adam(sched, b1=t.adam_b1, b2=t.adam_b2)
+
+
+def analytic_step_flops(cfg: Config, model: SeqRecModel) -> float:
+    """Matmul+attention FLOPs of one train step (fwd + ~2x bwd), analytic —
+    bench.py's model re-derived without XLA cost analysis (unavailable in
+    the loop). Elementwise excluded; feeds the Performance/mfu scalar."""
+    from ..models.embedding import tower_dims
+    from ..models.encoder import swiglu_hidden_dim
+
+    mc, tc = cfg.model, cfg.train
+    B, L, D, H = tc.batch_size, mc.maxlen + 1, mc.hidden_units, mc.num_heads
+    M = B * L
+    proj = 2 * M * D * (4 * D if mc.block_type == "hstu" else 3 * D) \
+        + 2 * M * D * D
+    if mc.ffn_type == "swiglu":
+        F = swiglu_hidden_dim(D, mc.ffn_hidden_mult, mc.ffn_multiple_of)
+        ffn = 2 * M * D * 2 * F + 2 * M * F * D
+    else:
+        ffn = 2 * (2 * M * D * D)
+    attn = B * L * (L + 1) / 2 * H * 4 * (D // H)   # QK^T + AV per pair
+    blocks = mc.num_blocks * (proj + ffn + attn)
+    userdim, itemdim = tower_dims(mc, model.schema)
+    mm = sum(model.schema.item_emb_dims[f] for f in model.schema.mm_emb_ids)
+    item_tower = 2 * M * (itemdim + mm) * D
+    neg_tokens = tc.num_sampled_negatives if tc.loss_type == "sampled_softmax" else M
+    towers = item_tower * 2 + 2 * neg_tokens * (itemdim + mm) * D \
+        + 2 * M * userdim * D
+    return 3.0 * (blocks + towers)                   # bwd ≈ 2x fwd
+
+
+_TPU_PEAK_BF16 = {"v5 lite": 197e12, "v5litepod": 197e12, "v4": 275e12,
+                  "v5p": 459e12, "v6": 918e12}
+
+
+def device_peak_flops() -> Optional[float]:
+    """bf16 peak of the local accelerator, or None off-TPU (mfu skipped)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _TPU_PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return None
 
 
 def device_tables(item_tables: ItemFeatureTables) -> Dict[str, Any]:
@@ -289,7 +354,8 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             table, table_opt, uids, drows, group_plan=group_plan,
             rows0=rows0 if group_plan is not None else None,
             table_old3=group_buf, kind=cfg.train.table_optimizer,
-            lr=cfg.train.lr, step=state.step + 1, b1=cfg.train.adam_b1,
+            lr=lr_at_step(cfg.train, state.step + 1),
+            step=state.step + 1, b1=cfg.train.adam_b1,
             b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
         metrics = _grad_metrics(metrics, dgrads, drows)
         params = dict(new_dense)
@@ -411,6 +477,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # per step and serialize the pipeline (the reference syncs every step,
     # ``main.py:206``; on TPU that can dominate step time).
     pending = []  # (record-dict-without-loss, device metrics)
+    step_flops = analytic_step_flops(cfg, model)
+    step_peak = device_peak_flops()
 
     def flush(epoch):
         if not pending:
@@ -440,14 +508,21 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                 gb = n_ids * cfg.model.hidden_units * 4 * 2 / 1e9
                 tb.scalar("Performance/lookup_gb_s",
                           gb / rec["step_time"], gs)
+            if step_peak is not None and rec["step_time"] > 0:
+                tb.scalar("Performance/mfu",
+                          step_flops / rec["step_time"] /
+                          (step_peak * max(1, jax.device_count())), gs)
             if gs % cfg.train.grad_log_every == 0:
                 # O1 telemetry set (BaseLineO1/main.py:296-314): per-group
-                # learning rates (dense params vs sparse-table rows)
+                # learning rates (dense params vs sparse-table rows) —
+                # emitted from the optimizer's own schedule (lr_at_step),
+                # not the config constant, so a schedule cannot lie here
+                lr_now = float(lr_at_step(cfg.train, gs))
                 tb.scalar("Gradient/max", float(m["grad_max"]), gs)
                 tb.scalar("Gradient/mean", float(m["grad_mean"]), gs)
-                tb.scalar("LearningRate/base", cfg.train.lr, gs)
+                tb.scalar("LearningRate/base", lr_now, gs)
                 if cfg.train.sparse_tables:
-                    tb.scalar("LearningRate/table", cfg.train.lr, gs)
+                    tb.scalar("LearningRate/table", lr_now, gs)
         last_rec, last_m = pending[-1]
         if verbose:
             print(f"  epoch {epoch} step {last_rec['step'] + 1}/"
