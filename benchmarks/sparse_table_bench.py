@@ -117,9 +117,19 @@ def main():
         # additionally needs the bf16 master table to fit 16G HBM
         configs += [(20_000_000, "rowwise_adagrad", "float32"),
                     (50_000_000, "rowwise_adagrad", "bfloat16")]
-    for itemnum, opt, tdt in configs:
+    if "--100m" in sys.argv:
+        # the full north-star table (BASELINE.json configs[4]): 12.8 GB
+        # bf16 packed + 0.4 GB rowwise-adagrad state on one 16 GB v5e.
+        # B=64: at B=128 the step working set (touched-group gather buffer
+        # 0.8 GB + tower/encoder activations ~2 GB) pushes past 15.75 GB
+        # usable HBM (measured OOM in jit(step_fn)); halving B halves it
+        configs = [(100_000_000, "rowwise_adagrad", "bfloat16", 64)]
+    for cfg_row in configs:
+        itemnum, opt, tdt = cfg_row[:3]
+        batch = cfg_row[3] if len(cfg_row) > 3 else 128
         try:
-            print(json.dumps(bench_config(itemnum, opt, table_dtype=tdt)),
+            print(json.dumps(bench_config(itemnum, opt, table_dtype=tdt,
+                                          batch=batch)),
                   flush=True)
         except Exception as e:  # OOM on small chips: report, keep going
             print(json.dumps({"metric": f"sparse_table_step_{itemnum}",

@@ -56,13 +56,19 @@ def _emb_init(key, rows, dim, dtype=jnp.float32):
     return w.at[0].set(0.0)  # padding row zeroed (reference main.py:106-111)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _packed_emb_init(key, packed_shape, rows, dim, dtype):
     """Init a PACKED [V/R, 8, 128] table in place (no [V, D] staging —
     generating then repacking would transiently hold two giant copies).
     xavier std comes from the LOGICAL (rows, dim) fan. Row 0 (padding id)
     AND the <=31 physical pad rows beyond ``rows`` zero out — eval's
     l2_emb_penalty norms the raw array, so 'pad rows are never read' must
-    actually hold."""
+    actually hold.
+
+    MUST run under jit: eager execution materializes each broadcasted_iota
+    as its own [V/R, 8, 128] int32 program output — 25.6 GB at 100M rows,
+    an instant OOM (measured: 'arguments 23.84G of 15.75G hbm'); fused,
+    the only allocation is the table itself."""
     std = (2.0 / (rows + dim)) ** 0.5
     w = jax.random.normal(key, packed_shape, jnp.dtype(dtype)) * std
     per = 128 // dim                 # rows per sublane
