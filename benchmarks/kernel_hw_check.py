@@ -97,6 +97,82 @@ def main():
     check_hstu("hstu_chunked_L4096_bf16", B=2, H=4, L=4096, hd=16,
                dtype=jnp.bfloat16)
 
+    # 4) fused whole-block kernel (ops/fused_block.py) vs the XLA block
+    from tencent_recommendation_2025_tpu.config import ModelConfig
+    from tencent_recommendation_2025_tpu.models import encoder as ENC
+    from tencent_recommendation_2025_tpu.models.embedding import layernorm
+    from tencent_recommendation_2025_tpu.models.hstu import hstu_block
+    from tencent_recommendation_2025_tpu.ops import fused_block as FB
+
+    def check_fused_block(name, B, L, D, H, dtype):
+        cfg = ModelConfig(hidden_units=D, num_heads=H, block_type="hstu",
+                          ffn_type="swiglu", dtype="float32",
+                          dropout_rate=0.0, reference_init=False)
+        params = ENC.init_block_params(jax.random.key(7), cfg)
+        x = jnp.asarray(rng.standard_normal((B, L, D)) * 0.5, jnp.float32)
+        tt = np.ones((B, L), np.int32)
+        tt[0, : L // 8] = 0
+        tt = jnp.asarray(tt)
+        cot = jnp.asarray(rng.standard_normal((B, L, D)) * 0.1, jnp.float32)
+        ftol, gtol = (2e-3, 5e-3) if dtype == jnp.float32 else (3e-2, 8e-2)
+
+        def oracle(x, params):
+            mask = ENC.attention_mask(tt, tt)
+            o = x + hstu_block(params["hstu"], layernorm(params["attn_ln"], x),
+                               mask, H)
+            return o + ENC.ffn(params["ffn"], layernorm(params["ffn_ln"], o),
+                               cfg)
+
+        def f_fused(x, params):
+            out = FB.fused_hstu_block(x.astype(dtype), params, tt,
+                                      jnp.int32(0), H).astype(jnp.float32)
+            return (out * cot).sum()
+
+        def f_oracle(x, params):
+            return (oracle(x, params) * cot).sum()
+
+        out = jax.jit(lambda x, p: FB.fused_hstu_block(
+            x.astype(dtype), p, tt, jnp.int32(0), H))(x, params)
+        ref = jax.jit(oracle)(x, params)
+        fwd_err = rel_err(out, ref)
+        gf = jax.jit(jax.grad(f_fused, argnums=(0, 1)))(x, params)
+        go = jax.jit(jax.grad(f_oracle, argnums=(0, 1)))(x, params)
+        gerr = max(rel_err(a, b) for a, b in
+                   zip(jax.tree.leaves(gf), jax.tree.leaves(go)))
+        print(json.dumps({"check": name, "fwd_rel_err": round(fwd_err, 6),
+                          "grad_rel_err": round(gerr, 6),
+                          "ok": bool(fwd_err < ftol and gerr < gtol)}),
+              flush=True)
+
+    check_fused_block("fused_block_L1024_f32", B=4, L=1024, D=64, H=1,
+                      dtype=jnp.float32)
+    check_fused_block("fused_block_L1024_bf16", B=4, L=1024, D=64, H=1,
+                      dtype=jnp.bfloat16)
+    check_fused_block("fused_block_L256_H4_bf16", B=2, L=256, D=64, H=4,
+                      dtype=jnp.bfloat16)
+
+    # 5) in-kernel dropout PRNG: deterministic per seed, distinct across
+    # seeds, backward regenerates the identical mask (grad of a linear
+    # function through dropout equals the mask pattern applied to cot)
+    cfgd = ModelConfig(hidden_units=64, num_heads=1, block_type="hstu",
+                       ffn_type="swiglu", dtype="float32",
+                       dropout_rate=0.5, reference_init=False)
+    pd = ENC.init_block_params(jax.random.key(3), cfgd)
+    xd = jnp.asarray(rng.standard_normal((2, 256, 64)) * 0.5, jnp.float32)
+    ttd = jnp.asarray(np.ones((2, 256), np.int32))
+
+    def run_drop(seed):
+        return jax.jit(lambda x, p: FB.fused_hstu_block(
+            x, p, ttd, jnp.int32(seed), 1, dropout_rate=0.5,
+            train=True))(xd, pd)
+
+    o1, o2, o3 = run_drop(42), run_drop(42), run_drop(43)
+    det = bool(np.array_equal(np.asarray(o1), np.asarray(o2)))
+    diff = not np.allclose(np.asarray(o1), np.asarray(o3))
+    print(json.dumps({"check": "fused_block_dropout_prng",
+                      "deterministic": det, "seed_sensitive": bool(diff),
+                      "ok": bool(det and diff)}), flush=True)
+
     # 2) flash MHA at L=1024
     q, k, v, valid, _ = inputs(2, 4, 1024, 16)
     cot = jnp.asarray(rng.standard_normal(q.shape) * 0.1, jnp.float32)

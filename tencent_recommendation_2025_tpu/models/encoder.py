@@ -264,6 +264,32 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
                              data_axis=data_axis)
         return layernorm(_cast_ln(params["last_ln"], dtype), out["x"])
 
+    # fully-fused whole-block kernel (ops/fused_block.py): the entire HSTU
+    # block (LNs, projections, attention stripes, gating, dropout, SwiGLU
+    # FFN, residuals) runs on VMEM-resident data — removes the ~60 ms of
+    # unfused VPU elementwise the round-2 roofline identified. The kernel is
+    # its own custom_vjp with in-kernel rematerialization, so the outer
+    # jax.checkpoint wrapper is skipped (it would re-run the forward kernel).
+    from ..ops.fused_block import fused_block_supported
+
+    mesh_trivial = mesh is None or all(
+        mesh.shape.get(ax, 1) == 1 for ax in ("seq", "pipe", "model"))
+    if mesh_trivial and fused_block_supported(
+            cfg, L, jax.default_backend()):
+        from ..ops.fused_block import fused_hstu_block
+
+        seeds = (jax.random.randint(rng, (cfg.num_blocks,), 0, 2 ** 31 - 1,
+                                    dtype=jnp.int32)
+                 if use_dropout else jnp.zeros((cfg.num_blocks,), jnp.int32))
+
+        def fused_body(x, scanned):
+            bp, sd = scanned
+            return fused_hstu_block(x, bp, token_type, sd, cfg.num_heads,
+                                    cfg.dropout_rate, use_dropout), None
+
+        x, _ = jax.lax.scan(fused_body, x, (params["blocks"], seeds))
+        return layernorm(_cast_ln(params["last_ln"], dtype), x)
+
     mha_core, hstu_core = make_attention_cores(cfg, token_type, mesh)
     # the dense path needs the [B, L, L] mask; fused/ring cores build their
     # masking internally from token_type
