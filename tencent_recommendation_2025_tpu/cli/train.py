@@ -103,12 +103,12 @@ def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
 
-    # Decide the mesh BEFORE constructing the model: a mesh row-shards big
-    # tables across devices, so packed single-chip storage
-    # (ModelConfig.pack_big_tables) turns off — but only when the mesh will
-    # actually be built; if the preset wants devices this host lacks, the
-    # run falls back to single-device and must KEEP packing (unpacked
-    # >=30M-row tables OOM on the staged layout copies).
+    # Decide the mesh BEFORE constructing the model. Packed big-table
+    # storage STAYS on under a mesh: the group dim shards over the table
+    # axes and each device's [G/S, 8, 128] slice keeps the compact layout
+    # (ops/sparse_table.sharded_gather_rows / sharded_apply_row_update) —
+    # an unpacked [V/S, D] shard would re-stage the lane-padded 2x copy on
+    # every touch (the round-2 layout finding).
     import jax
 
     # counter-based RBG PRNG, matching bench.py: threefry dropout-mask
@@ -127,10 +127,6 @@ def main(argv=None):
             mesh = build_mesh(cfg.mesh)
             print(f"mesh: {dict(mesh.shape)} over "
                   f"{jax.device_count()} devices")
-            import dataclasses
-
-            cfg = cfg.replace(model=dataclasses.replace(
-                cfg.model, pack_big_tables=False))
         else:
             print(f"WARNING: preset wants {want} devices but only "
                   f"{jax.device_count()} present — training single-device")

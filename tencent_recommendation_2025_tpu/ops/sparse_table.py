@@ -262,7 +262,11 @@ def compute_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
 # flagship's 393K touched rows — so packing only pays where the 2x copy
 # no longer FITS. 30M rows is where f32 stops fitting a 16 GB chip.
 TABLE_PACK_MIN_ROWS = 30_000_000
-_PAD_ROWS = 32      # lcm of the possible group sizes at D | 128
+_PAD_ROWS = 256     # lcm of the group sizes at D | 128 (R <= 16) TIMES the
+#                     max supported table-shard count (16): a packed table's
+#                     group dim must divide evenly over the mesh's table
+#                     axes so per-shard slices stay whole packed groups
+#                     (sharded_gather_rows / sharded_apply_row_update)
 _SCATTER_NSEM = 8     # outstanding group-DMAs per sub-chunk
 _SCATTER_CSC = 1024   # group ids streamed to SMEM per scalar DMA (one
 #                       tile-exact (8, 128) int32 block, 4 KB): scalar-
@@ -649,3 +653,187 @@ def apply_row_update(table: jnp.ndarray, opt: Dict, uids: jnp.ndarray,
                                             rows0=rows0, **kw)
     return scatter_row_update(table, opt, uids, new_rows, opt_rows,
                               group_plan=group_plan, table_old3=table_old3)
+
+
+# ---------------------------------------------------------------------------
+# Packed tables UNDER A MESH: per-shard packed slices via shard_map (F3).
+#
+# A mesh row-shards tables over partition.TABLE_AXES. For packed storage the
+# GROUP dim shards instead — each shard's local [G/S, 8, 128] slice is itself
+# a compact-layout packed table, so the copy-free property holds per shard
+# (an unpacked [V/S, D] shard still stages the lane-padded 2x copy on every
+# XLA touch — the round-2 layout finding, BASELINE.md). The touched-row
+# exchange is EXPLICIT: each shard gathers its local rows, an all-gather over
+# the table axes rebuilds the replicated [K, D] working set (owner-blocked;
+# a host-planned permutation restores global uid order), and the update
+# scatters per shard through the same aliased Pallas group-DMA kernel the
+# single-chip path uses (XLA row scatter off-TPU). Replaces the reference's
+# single-device nn.Embedding (model/BaseLine/model.py:115-117,158-167) at
+# the sharded 100M-row target (BASELINE.json configs[4]).
+# ---------------------------------------------------------------------------
+
+def mesh_table_shards(mesh) -> int:
+    """Number of table-row shards of a mesh (product over TABLE_AXES)."""
+    from ..parallel.partition import TABLE_AXES
+
+    n = 1
+    for a in TABLE_AXES:
+        n *= mesh.shape.get(a, 1)
+    return n
+
+
+def shard_capacity(cap: int, n_shards: int, slack: float = 1.35) -> int:
+    """Static per-shard touched-row capacity: ceil(cap/S) with ``slack``
+    headroom for hash imbalance, rounded to the scatter DMA chunk. With
+    uniformly distributed ids the max shard load concentrates at
+    cap/S + O(sqrt(cap/S)); 1.35x makes overflow astronomically unlikely —
+    host_shard_plan still checks and raises rather than dropping rows."""
+    if n_shards <= 1:
+        return -(-cap // _SCATTER_CSC) * _SCATTER_CSC
+    per = int(-(-cap // n_shards) * slack)
+    return -(-per // _SCATTER_CSC) * _SCATTER_CSC
+
+
+def host_shard_plan(uids_np, vocab_rows: int, group_rows: int,
+                    n_shards: int, cap_per_shard: int) -> Dict:
+    """HOST-side per-shard plan for a packed table row-sharded over
+    ``n_shards`` (uids sorted unique, sentinel ``vocab_rows`` tail).
+
+    With S = n_shards, Kp = cap_per_shard, R = group_rows, K = len(uids):
+
+    - ``lids``     [S, Kp] int32 — LOCAL row ids per shard (sentinel =
+      rows-per-shard, out of local range);
+    - ``gpos``     [S, Kp] int32 — each local row's position in the GLOBAL
+      uid order (sentinel K — callers append a zero row);
+    - ``groups``   [S, Kp] int32 — local touched group ids (sentinel = local
+      group count, skipped by the scatter);
+    - ``slot_src`` [S, Kp, R] int32 — per group slot, row in the shard's
+      LOCAL new-rows tensor [Kp, D] (sentinel Kp = keep old value);
+    - ``pos``      [K] int32 — each uid's row in the all-gathered
+      owner-blocked buffer [S*Kp, D].
+
+    Raises on per-shard capacity overflow (raise ``shard_capacity`` slack).
+    """
+    import numpy as np
+
+    uids = np.asarray(uids_np)
+    K = len(uids)
+    Kp = int(cap_per_shard)
+    assert vocab_rows % n_shards == 0, (vocab_rows, n_shards)
+    rps = vocab_rows // n_shards
+    assert rps % group_rows == 0, (rps, group_rows)
+    nGl = rps // group_rows
+    real = uids < vocab_rows
+    owner = np.minimum(uids // rps, n_shards - 1)
+    lids = np.full((n_shards, Kp), rps, np.int32)
+    gpos = np.full((n_shards, Kp), K, np.int32)
+    groups = np.full((n_shards, Kp), nGl, np.int32)
+    slot_src = np.full((n_shards, Kp, group_rows), Kp, np.int32)
+    pos = np.zeros((K,), np.int32)
+    for s in range(n_shards):
+        sel = np.nonzero(real & (owner == s))[0]
+        n = len(sel)
+        if n > Kp:
+            raise ValueError(
+                f"table shard {s} touched {n} rows > per-shard capacity "
+                f"{Kp}; raise shard_capacity slack")
+        lu = (uids[sel] - s * rps).astype(np.int32)
+        lids[s, :n] = lu
+        gpos[s, :n] = sel
+        pos[sel] = s * Kp + np.arange(n, dtype=np.int32)
+        gr = lu // group_rows
+        first = np.ones(n, bool)
+        first[1:] = gr[1:] != gr[:-1]
+        groups[s, : int(first.sum())] = gr[first]
+        gidx = np.cumsum(first) - 1
+        slot_src[s, gidx, lu % group_rows] = np.arange(n, dtype=np.int32)
+    return {"lids": lids, "gpos": gpos, "groups": groups,
+            "slot_src": slot_src, "pos": pos}
+
+
+def _table_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.partition import TABLE_AXES
+
+    return TABLE_AXES, P(TABLE_AXES), P()
+
+
+def sharded_gather_rows(mesh, table3, uids, shard_plan: Dict, dim: int,
+                        plans: Dict = None) -> GatheredRows:
+    """GatheredRows for ``uids`` from a PACKED table sharded over the mesh's
+    table axes: per-shard local row extraction + one all-gather of [Kp, D]
+    row blocks (NOT whole [Kp, 8, 128] groups — R-times less ICI traffic),
+    then the host-planned permutation back to global uid order."""
+    axes, p_tbl, p_rep = _table_specs(mesh)
+    S = mesh_table_shards(mesh)
+    vocab = table_rows(table3, dim)
+    assert vocab % S == 0, (vocab, S)
+    rps = vocab // S
+
+    def local(tbl, lids2):
+        lids = lids2[0]
+        rows = row_take(tbl, lids, dim=dim)
+        rows = rows * (lids < rps)[:, None].astype(rows.dtype)
+        return jax.lax.all_gather(rows, axes, tiled=True)   # [S*Kp, D]
+
+    rows_cat = jax.shard_map(local, mesh=mesh, in_specs=(p_tbl, p_tbl),
+                             out_specs=p_rep, check_vma=False)(
+        table3, shard_plan["lids"])
+    rows = jnp.take(rows_cat, shard_plan["pos"], axis=0)
+    rows = rows * (uids < vocab)[:, None].astype(rows.dtype)
+    return GatheredRows(uids=uids, rows=rows, plans=plans or {})
+
+
+def sharded_apply_row_update(mesh, table3, opt: Dict, uids, drows,
+                             shard_plan: Dict, rows0, *, kind: str, lr,
+                             step, weight_decay: float = 0.0,
+                             eps: float = 1e-8, dim: int = None,
+                             interpret: bool = False,
+                             **_unused) -> Tuple[jnp.ndarray, Dict]:
+    """Row-sparse update of a mesh-sharded PACKED table: each shard computes
+    its own rows' update (rowwise-Adagrad) from the replicated [K, D]
+    gradient and scatters whole groups into its local packed slice via the
+    aliased Pallas kernel (XLA dim-0 scatter off-TPU). The [V] accumulator
+    shards alongside and updates with a local row scatter."""
+    assert kind == "rowwise_adagrad", (
+        "sharded packed tables support rowwise_adagrad (the production "
+        f"choice at packed scale); got {kind!r}")
+    axes, p_tbl, p_rep = _table_specs(mesh)
+    S = mesh_table_shards(mesh)
+    f32 = jnp.float32
+    D = drows.shape[-1]
+    vocab = table_rows(table3, dim or D)
+    rps = vocab // S
+    vals_ext = jnp.concatenate([drows.astype(f32), jnp.zeros((1, D), f32)])
+    rows_ext = jnp.concatenate([rows0.astype(f32), jnp.zeros((1, D), f32)])
+    use_pallas = jax.default_backend() == "tpu"
+
+    def local(tbl, acc, lids2, gpos2, groups2, slot_src2, vals_e, rows_e,
+              lr_s):
+        lids, gpos = lids2[0], gpos2[0]
+        ok = (lids < rps).astype(f32)[:, None]
+        g = jnp.take(vals_e, gpos, axis=0) * ok
+        rows = jnp.take(rows_e, gpos, axis=0)
+        acc_r = jnp.take(acc, jnp.minimum(lids, rps - 1))
+        acc_r = acc_r + jnp.mean(g * g, axis=-1)
+        upd = g * jax.lax.rsqrt(acc_r + eps)[:, None]
+        if weight_decay:
+            upd = upd + weight_decay * rows
+        new_rows = (rows - lr_s * upd) * ok
+        plan = {"groups": groups2[0], "slot_src": slot_src2[0]}
+        tbl = group_scatter_apply(tbl, new_rows.astype(tbl.dtype), plan,
+                                  old3=None, interpret=interpret,
+                                  use_pallas=use_pallas)
+        acc = acc.at[lids].set(acc_r, mode="drop")
+        return tbl, acc
+
+    new_table, new_acc = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(p_tbl, p_tbl, p_tbl, p_tbl, p_tbl, p_tbl, p_rep, p_rep,
+                  p_rep),
+        out_specs=(p_tbl, p_tbl), check_vma=False)(
+        table3, opt["acc"], shard_plan["lids"], shard_plan["gpos"],
+        shard_plan["groups"], shard_plan["slot_src"], vals_ext, rows_ext,
+        jnp.asarray(lr, f32))
+    return new_table, {"acc": new_acc}

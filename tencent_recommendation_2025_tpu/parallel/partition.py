@@ -111,6 +111,15 @@ def shard_params(mesh: Mesh, params) -> Any:
             padded = n_row_shards * (-(-rows // n_row_shards))
             if padded != rows:
                 leaf = jax.numpy.pad(leaf, ((0, padded - rows), (0, 0)))
+        if (spec and len(spec) >= 1 and spec[0] == TABLE_AXES
+                and getattr(leaf, "ndim", 0) == 3):
+            # PACKED table [G, 8, 128]: the group dim must divide evenly —
+            # padded_table_rows pads to 256 rows (16 groups at D=64), which
+            # covers up to 16 table shards; never pad here (the host shard
+            # plans and the checkpoint layout assume the init-time shape)
+            assert leaf.shape[0] % n_row_shards == 0, (
+                f"packed table group dim {leaf.shape[0]} not divisible by "
+                f"{n_row_shards} table shards (max supported: 16)")
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, params, specs,
@@ -133,14 +142,20 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     """Batch leaves shard consumer-consistently: [B, L, ...] leaves put L on
     the ``seq`` axis (the layout the ring-attention shard_map and the
     seq-sharded loss path consume — anything else makes the SPMD partitioner
-    fully rematerialize ids to re-shard them), 1-D leaves just on ``data``."""
+    fully rematerialize ids to re-shard them), 1-D leaves just on ``data``.
+    Sparse-table plan leaves (host dedup + shard plans) are NOT batch-shaped
+    and replicate — the shard_map gather/scatter slices them itself."""
 
-    def spec(leaf):
+    def spec(path, leaf):
+        s = _path_str(path)
+        if s.startswith(("touched_uids", "tshard_", "sparse_plans",
+                         "scatter_", "sampled_neg_ids")):
+            return NamedSharding(mesh, P())
         if getattr(leaf, "ndim", 1) >= 2:
             return NamedSharding(mesh, P(("pipe", "data"), "seq"))
         return NamedSharding(mesh, P(("pipe", "data")))
 
-    return jax.tree.map(spec, batch)
+    return jax.tree_util.tree_map_with_path(spec, batch)
 
 
 def replicated(mesh: Mesh, tree) -> Any:

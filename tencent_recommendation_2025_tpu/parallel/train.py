@@ -38,11 +38,15 @@ def init_sharded_state(model: SeqRecModel, cfg: Config, mesh: Mesh,
         dense = {k: v for k, v in params.items() if k not in sparse}
         opt_state = {
             "dense": jax.jit(tx.init)(dense),
-            "tables": {n: jax.jit(
+            # moments place explicitly row-sharded: a packed table's [V]
+            # accumulator is fresh zeros (no sharding to inherit from a
+            # column slice), and the step's shard_map expects P(TABLE_AXES)
+            "tables": {n: {k: _shard_table_moment(mesh, v)
+                           for k, v in jax.jit(
                 lambda t: init_table_opt(t, cfg.train.table_optimizer,
                                          cfg.train.table_moments_dtype,
                                          dim=cfg.model.hidden_units)
-            )(params[n]) for n in sparse},
+            )(params[n]).items()} for n in sparse},
         }
     else:
         opt_state = jax.jit(tx.init)(params)
@@ -133,7 +137,14 @@ def unpad_state(state: TrainState, params_template) -> TrainState:
                 state.opt_state["dense"], dtree,
                 on_params=lambda p: partition.unpad_like(p, dense_template),
                 on_leaf=lambda l: l),
-            "tables": {n: {k: v[: tdict[n].shape[0]]
+            # moments cut to their table's shard-pad-free length. Unpacked
+            # templates (2-D [V, D]): every moment (mu/nu [V, D], acc [V])
+            # shares the leading dim V. PACKED templates (3-D [G, 8, 128])
+            # never gain shard padding, and the [V] adagrad accumulator's
+            # leading dim is rows not groups — cut only same-ndim moments.
+            "tables": {n: {k: (v[: tdict[n].shape[0]]
+                               if tdict[n].ndim == 2
+                               or v.ndim == tdict[n].ndim else v)
                            for k, v in m.items()}
                        for n, m in state.opt_state["tables"].items()},
         }

@@ -196,11 +196,16 @@ def sparse_touch_capacity(cfg: Config) -> int:
     return n + cfg.train.batch_size * (cfg.model.maxlen + 1)
 
 
-def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key):
+def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
+                         n_table_shards: int = 1):
     """HOST-side sparse-table prep, run in the input pipeline where the
     prefetcher hides it: samples softmax negatives (numpy) and computes the
     dedup'd ``touched_uids`` — on-device sort/unique costs tens of seconds
-    on TPU (see ops/sparse_table.unique_touched), numpy ~10 ms."""
+    on TPU (see ops/sparse_table.unique_touched), numpy ~10 ms.
+
+    With ``n_table_shards`` > 1 and a packed table, the single-chip group
+    plan is replaced by the per-shard plan (ops/sparse_table.host_shard_plan)
+    that drives the shard_map gather/scatter."""
     from ..ops.sparse_table import host_unique_touched
 
     out = dict(batch)
@@ -224,7 +229,15 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key):
     vocab = ST.padded_table_rows(itemnum + 1) if packed else itemnum + 1
     uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg), vocab)
     out["touched_uids"] = uids
-    if packed is not None:
+    if packed is not None and n_table_shards > 1:
+        # per-shard gather/scatter plan for the MESH-sharded packed table
+        R = ST.scatter_group_rows(cfg.model.table_dtype,
+                                  cfg.model.hidden_units)
+        cap = ST.shard_capacity(sparse_touch_capacity(cfg), n_table_shards)
+        plan = ST.host_shard_plan(uids, vocab, R, n_table_shards, cap)
+        for k, v in plan.items():
+            out[f"tshard_{k}"] = v
+    elif packed is not None:
         # whole-group gather/scatter plan for the packed table
         R = ST.scatter_group_rows(cfg.model.table_dtype,
                                   cfg.model.hidden_units)
@@ -267,9 +280,11 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             "tables at packed scale (>=30M rows) must train sparsely: dense "
             "gradients on a packed table would scatter-add row fragments; "
             "set train.sparse_tables=('item_emb',) or pack_big_tables=False")
-        assert mesh is None, (
-            "pack_big_tables is a single-device layout; meshes row-shard "
-            "the table instead — cli.train sets pack_big_tables=False")
+        if mesh is not None:
+            # packed + mesh: the group dim shards over the table axes and
+            # the step routes through the shard_map gather/scatter below
+            assert cfg.train.table_optimizer == "rowwise_adagrad", (
+                "mesh-sharded packed tables support rowwise_adagrad")
 
     if not sparse:
         def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
@@ -312,6 +327,13 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
         V = ST.table_rows(table, D)
         plans = batch.pop("sparse_plans", {})
         group_plan = None
+        shard_plan = None
+        if "tshard_lids" in batch:
+            # per-shard plan for the MESH-sharded packed table
+            plan = {k: batch.pop(f"tshard_{k}")
+                    for k in ("lids", "gpos", "groups", "slot_src", "pos")}
+            if ST.is_packed(table) and mesh is not None:
+                shard_plan = plan
         if "scatter_groups" in batch:
             # whole-group gather/scatter plan for the PACKED table
             plan = {"groups": batch.pop("scatter_groups"),
@@ -327,7 +349,13 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             ids_all = _collect_touched_item_ids(batch, cfg)
             uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
                                      vocab_rows=V)
-        if group_plan is not None:
+        if shard_plan is not None:
+            # mesh-sharded packed table: per-shard local gather + explicit
+            # all-gather over the table axes (shard_map)
+            group_buf = None
+            rows0 = ST.sharded_gather_rows(mesh, table, uids, shard_plan,
+                                           dim=D).rows
+        elif group_plan is not None:
             # one dim-0 group gather feeds the forward's rows AND the
             # scatter's old-group content
             gathered, group_buf = ST.gather_rows_grouped(table, uids,
@@ -350,13 +378,21 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
         updates, dense_opt = tx.update(dgrads, state.opt_state["dense"],
                                        dense_params)
         new_dense = optax.apply_updates(dense_params, updates)
-        new_table, new_topt = ST.apply_row_update(
-            table, table_opt, uids, drows, group_plan=group_plan,
-            rows0=rows0 if group_plan is not None else None,
-            table_old3=group_buf, kind=cfg.train.table_optimizer,
-            lr=lr_at_step(cfg.train, state.step + 1),
-            step=state.step + 1, b1=cfg.train.adam_b1,
-            b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
+        if shard_plan is not None:
+            new_table, new_topt = ST.sharded_apply_row_update(
+                mesh, table, table_opt, uids, drows, shard_plan, rows0,
+                kind=cfg.train.table_optimizer,
+                lr=lr_at_step(cfg.train, state.step + 1),
+                step=state.step + 1, dim=D,
+                weight_decay=cfg.train.weight_decay)
+        else:
+            new_table, new_topt = ST.apply_row_update(
+                table, table_opt, uids, drows, group_plan=group_plan,
+                rows0=rows0 if group_plan is not None else None,
+                table_old3=group_buf, kind=cfg.train.table_optimizer,
+                lr=lr_at_step(cfg.train, state.step + 1),
+                step=state.step + 1, b1=cfg.train.adam_b1,
+                b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
         metrics = _grad_metrics(metrics, dgrads, drows)
         params = dict(new_dense)
         params["item_emb"] = new_table
@@ -453,10 +489,6 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         model, cfg, device_tables(item_tables), mesh=mesh, state=state)
     mm_tables = tables["mm"]
     rng = jax.random.key(cfg.train.seed + 1)
-    # checkpoints keep logical (mesh-independent) shapes: strip table-row
-    # shard padding before save so restore works on any mesh
-    params_template = jax.eval_shape(model.init, jax.random.key(0)) \
-        if mesh is not None else None
 
     epochs = num_epochs or cfg.train.num_epochs
     save_handle = None
@@ -536,9 +568,12 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         it = train_loader.epoch(epoch)
         if not cfg.train.sparse_tables:
             return it
+        from ..ops.sparse_table import mesh_table_shards
+        n_shards = mesh_table_shards(mesh) if mesh is not None else 1
         # host-side sparse prep (dedup + negatives) rides the prefetch thread
         return (augment_batch_sparse(b, cfg, model.itemnum,
-                                     (cfg.train.seed, 97, epoch, i))
+                                     (cfg.train.seed, 97, epoch, i),
+                                     n_table_shards=n_shards)
                 for i, b in enumerate(it))
 
     for epoch in range(1, epochs + 1):
@@ -576,14 +611,14 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             print(f"epoch {epoch}: valid_loss {valid_loss:.4f} "
                   f"({T.format_time(vtime)})")
         if ckpt_dir:
-            to_save = state
-            if mesh is not None:
-                from ..parallel.train import unpad_state
-                to_save = unpad_state(state, params_template)
+            # mesh states save as-is, shard-padded rows included: sharded
+            # leaves write PER-SHARD files (no host/device gather — stripping
+            # the pad would all-gather every table); the load side converts
+            # across pad boundaries (checkpoint._convert_layout)
             if save_handle is not None:
                 save_handle.result()  # one save in flight at a time
             save_handle = save_checkpoint_async(
-                ckpt_dir, to_save, timer.global_step, valid_loss,
+                ckpt_dir, state, timer.global_step, valid_loss,
                 model_config=model.cfg)
 
     if save_handle is not None:

@@ -520,8 +520,8 @@ def test_pallas_group_gather_matches_take():
 
 def test_packed_table_requires_sparse_and_no_mesh(small_setup, sparse_setup,
                                                   monkeypatch):
-    """Guards: packed-scale tables must train sparsely, and packing is a
-    single-device layout (meshes row-shard instead)."""
+    """Guards: packed-scale tables must train sparsely, and the mesh-sharded
+    packed path supports the rowwise-Adagrad optimizer only."""
     from tencent_recommendation_2025_tpu.train.trainer import (
         make_optimizer, make_train_step)
 
@@ -533,8 +533,118 @@ def test_packed_table_requires_sparse_and_no_mesh(small_setup, sparse_setup,
         make_train_step(model, tx, dense_cfg)
     from jax.sharding import Mesh
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
-    with pytest.raises(AssertionError, match="single-device"):
-        make_train_step(model, tx, sparse_cfg, mesh=mesh)
+    lazy_cfg = sparse_cfg.replace(train=dataclasses.replace(
+        sparse_cfg.train, table_optimizer="lazy_adam"))
+    with pytest.raises(AssertionError, match="rowwise_adagrad"):
+        make_train_step(model, tx, lazy_cfg, mesh=mesh)
+
+
+def test_sharded_packed_step_matches_single_device(small_setup, sparse_setup,
+                                                   monkeypatch):
+    """A PACKED table sharded over the 8-device mesh — per-shard packed
+    [G/S, 8, 128] slices, shard_map local gather + explicit all-gather over
+    the table axes, per-shard group scatter (ops/sparse_table.
+    sharded_gather_rows / sharded_apply_row_update) — reproduces the
+    single-device packed step exactly: losses and final table contents.
+    The 100M-row sharded target's mechanism (BASELINE.json configs[4]),
+    replacing the reference's single-device nn.Embedding
+    (model/BaseLine/model.py:115-117) at mesh scale."""
+    import __graft_entry__  # noqa: F401
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.models.baseline import SeqRecModel
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        augment_batch_sparse, device_tables, init_state, make_optimizer,
+        make_train_step)
+
+    monkeypatch.setattr(ST, "TABLE_PACK_MIN_ROWS", 1)
+    _, sparse_cfg = sparse_setup
+    cfg = sparse_cfg.replace(train=dataclasses.replace(
+        sparse_cfg.train, table_optimizer="rowwise_adagrad"))
+    base = small_setup["model"]
+    model = SeqRecModel(cfg=cfg.model, schema=small_setup["schema"],
+                        fused=small_setup["fused"],
+                        usernum=base.usernum, itemnum=base.itemnum)
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, cfg)
+    key = jax.random.key(23)
+
+    # single-device packed baseline
+    tx = make_optimizer(cfg)
+    state_1 = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    assert ST.is_packed(state_1.params["item_emb"])
+    table0 = np.asarray(state_1.params["item_emb"])
+    aug_1 = jax.device_put(augment_batch_sparse(batch, cfg, model.itemnum,
+                                                (0, 7)))
+    step_1 = make_train_step(model, tx, cfg)
+    losses_1 = []
+    for _ in range(3):
+        state_1, m = step_1(state_1, aug_1, tables["mm"], tables, key)
+        losses_1.append(float(m["loss"]))
+
+    # mesh twin: same init (init_sharded_state uses the same seed)
+    mcfg = cfg.replace(mesh=MeshConfig(data=8))
+    mesh = build_mesh(mcfg.mesh)
+    state_m, tx_m = PT.init_sharded_state(model, mcfg, mesh)
+    assert ST.is_packed(state_m.params["item_emb"])
+    np.testing.assert_array_equal(np.asarray(state_m.params["item_emb"]),
+                                  table0)
+    aug_m = augment_batch_sparse(batch, mcfg, model.itemnum, (0, 7),
+                                 n_table_shards=ST.mesh_table_shards(mesh))
+    assert "tshard_lids" in aug_m
+    stables = PT.shard_tables(mesh, tables)
+    step_m = PT.make_sharded_train_step(model, tx_m, mcfg, mesh)
+    losses_m = []
+    for _ in range(3):
+        state_m, m = step_m(state_m, PT.shard_batch(mesh, aug_m),
+                            stables["mm"], stables, key)
+        losses_m.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_m, losses_1, rtol=1e-5)
+    # table stayed sharded over 8 devices, per-shard slices packed
+    assert len(state_m.params["item_emb"].sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(state_m.params["item_emb"]),
+                               np.asarray(state_1.params["item_emb"]),
+                               rtol=1e-5, atol=1e-6)
+    acc_m = state_m.opt_state["tables"]["item_emb"]["acc"]
+    np.testing.assert_allclose(
+        np.asarray(acc_m),
+        np.asarray(state_1.opt_state["tables"]["item_emb"]["acc"]),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_host_shard_plan_contract():
+    """Per-shard plan: local ids/groups per owner shard, slot_src points at
+    the shard's LOCAL new-rows tensor, pos rebuilds global uid order from
+    the owner-blocked all-gather."""
+    V, R, S = 64 * 32, 16, 4                  # 2048 rows, 512/shard
+    uids = np.array([0, 5, 511, 512, 513, 1030, 2000, V, V, V], np.int64)
+    cap = ST.shard_capacity(len(uids), S, slack=1.0)
+    plan = ST.host_shard_plan(uids, V, R, S, cap)
+    rps = V // S
+    # owners: 0,0,0 | 1,1 | 2 | 3
+    assert list(plan["lids"][0][:3]) == [0, 5, 511]
+    assert list(plan["lids"][1][:2]) == [0, 1]
+    assert list(plan["lids"][2][:1]) == [1030 - 2 * rps]
+    assert list(plan["lids"][3][:1]) == [2000 - 3 * rps]
+    assert (plan["lids"][0][3:] == rps).all()
+    # gpos maps back to the global uid order
+    assert list(plan["gpos"][0][:3]) == [0, 1, 2]
+    assert list(plan["gpos"][1][:2]) == [3, 4]
+    assert plan["gpos"][2][0] == 5 and plan["gpos"][3][0] == 6
+    # pos: uid i lives at owner*cap + local_rank
+    want_pos = [0, 1, 2, cap, cap + 1, 2 * cap, 3 * cap]
+    assert list(plan["pos"][:7]) == want_pos
+    # slot_src: shard 0 group 0 slots 0 and 5 -> local rows 0 and 1
+    ss0 = plan["slot_src"][0]
+    assert ss0[0, 0] == 0 and ss0[0, 5] == 1
+    nGl = rps // R
+    assert (plan["groups"][0][:2] < nGl).all()
+    # overflow raises rather than dropping rows
+    with pytest.raises(ValueError, match="capacity"):
+        ST.host_shard_plan(np.zeros((cap + 1,), np.int64) if False else
+                           np.arange(cap + 1, dtype=np.int64), V, R, 1, cap)
 
 
 def test_host_group_plan_contract():
