@@ -67,12 +67,55 @@ def _config_dict(model_config) -> Optional[dict]:
     return dict(model_config)
 
 
+def _shard_snapshot(leaf):
+    """Host snapshot of one leaf WITHOUT gathering across devices.
+
+    A jax.Array with >1 distinct shard extents snapshots per ADDRESSABLE
+    shard: [(index_json, np.ndarray)], where index_json is the shard's
+    [start, stop] per dim within the global array. Only the first replica
+    of each extent is fetched (row-sharded tables replicate over unused
+    mesh axes). Everything else (replicated, single-device, numpy) snapshots
+    as one np.asarray — which for those is a device-local copy, not a
+    cross-device gather."""
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards is None or getattr(leaf, "ndim", 0) == 0:
+        return np.asarray(leaf)
+    shape = leaf.shape
+
+    def idx_json(index):
+        return [[int(s.start or 0),
+                 int(s.stop if s.stop is not None else d)]
+                for s, d in zip(index, shape)]
+
+    seen = {}
+    for sh in shards:
+        key = tuple(tuple(p) for p in idx_json(sh.index))
+        if key not in seen:
+            seen[key] = np.asarray(sh.data)
+    if len(seen) <= 1:
+        return np.asarray(leaf)
+    return [(list(list(p) for p in k), v) for k, v in sorted(seen.items())]
+
+
+def _snapshot_state(state: Any):
+    """[(tree path, payload)] — payload is an ndarray or a per-shard list."""
+    return [(path, _shard_snapshot(leaf))
+            for path, leaf in _flatten_with_paths(state)]
+
+
 def save_checkpoint(ckpt_dir, state: Any, global_step: int,
                     valid_loss: float = 0.0,
                     extra_meta: Optional[dict] = None,
                     model_config=None,
-                    _fault_after_files: Optional[int] = None) -> Path:
+                    _fault_after_files: Optional[int] = None,
+                    _snapshot=None) -> Path:
     """Write a checkpoint atomically (stage into ``.tmp``, then rename).
+
+    Mesh-sharded leaves write PER-SHARD files (``leaf_i.s03.npy`` + shard
+    extents in the manifest) — the full array is never materialized on the
+    host; a 100M-row sharded table costs one local-shard copy per device.
+    The reference's counterpart is a single-device ``torch.save(state_dict)``
+    (``main.py:267-269``) which never faced this.
 
     ``model_config`` (a ModelConfig or dict) is recorded in meta and checked
     by ``load_checkpoint``. ``_fault_after_files`` is a test-only hook that
@@ -83,13 +126,33 @@ def save_checkpoint(ckpt_dir, state: Any, global_step: int,
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
 
+    snapshot = _snapshot if _snapshot is not None else _snapshot_state(state)
     entries = []
-    for i, (path, leaf) in enumerate(_flatten_with_paths(state)):
-        if _fault_after_files is not None and i >= _fault_after_files:
+    n_files = 0
+    for i, (path, payload) in enumerate(snapshot):
+        if isinstance(payload, list):                     # sharded leaf
+            dims = len(payload[0][0])
+            shape = [max(idx[d][1] for idx, _ in payload)
+                     for d in range(dims)]
+            shard_entries = []
+            for k, (idx, arr) in enumerate(payload):
+                if _fault_after_files is not None \
+                        and n_files >= _fault_after_files:
+                    raise RuntimeError("injected checkpoint fault (test hook)")
+                fname = f"leaf_{i:05d}.s{k:03d}.npy"
+                np.save(tmp / fname, arr)
+                n_files += 1
+                shard_entries.append({"file": fname, "index": idx})
+            entries.append({"path": path, "shape": shape,
+                            "dtype": str(payload[0][1].dtype),
+                            "shards": shard_entries})
+            continue
+        if _fault_after_files is not None and n_files >= _fault_after_files:
             raise RuntimeError("injected checkpoint fault (test hook)")
-        arr = np.asarray(leaf)
+        arr = np.asarray(payload)
         fname = f"leaf_{i:05d}.npy"
         np.save(tmp / fname, arr)
+        n_files += 1
         entries.append({"path": path, "file": fname,
                         "shape": list(arr.shape), "dtype": str(arr.dtype)})
     (tmp / MANIFEST_FILE).write_text(json.dumps({"leaves": entries}))
@@ -127,17 +190,18 @@ def save_checkpoint_async(ckpt_dir, state: Any, global_step: int,
                           extra_meta: Optional[dict] = None,
                           model_config=None) -> AsyncSaveHandle:
     """Fetch leaves to host NOW (the train loop will donate the device
-    buffers), write files on a background thread. The training step overlaps
-    with disk I/O instead of blocking on it."""
-    host_state = jax.tree.map(lambda l: np.asarray(l), state)
+    buffers; sharded leaves fetch per-shard — no cross-device gather), write
+    files on a background thread. The training step overlaps with disk I/O
+    instead of blocking on it."""
+    snapshot = _snapshot_state(state)
 
     handle: AsyncSaveHandle
 
     def run():
         try:
-            handle.path = save_checkpoint(ckpt_dir, host_state, global_step,
+            handle.path = save_checkpoint(ckpt_dir, None, global_step,
                                           valid_loss, extra_meta,
-                                          model_config)
+                                          model_config, _snapshot=snapshot)
         except BaseException as e:  # surfaced via result()
             handle.error = e
 
@@ -221,16 +285,66 @@ def _convert_layout(arr: np.ndarray, tshape) -> Optional[np.ndarray]:
         n = min(arr.shape[0], tshape[0])
         out[:n] = arr[:n]
         return out
+    if arr.ndim == 2 and len(tshape) == 2 and arr.shape[1] == tshape[1] \
+            and 0 < abs(arr.shape[0] - tshape[0]) < 32:
+        # [V, D] table across the mesh shard-pad boundary: sharded saves
+        # keep the padded physical rows (unpadding would all-gather the
+        # table — see save_checkpoint); pad rows are zeros and never
+        # addressed, so cut or re-pad freely. Bound 32 >= max table shards
+        # (16) keeps genuine vocab skew loud.
+        out = np.zeros(tshape, arr.dtype)
+        n = min(arr.shape[0], tshape[0])
+        out[:n] = arr[:n]
+        return out
     return None
 
 
-def load_checkpoint(path, target: Any, model_config=None) -> Tuple[Any, dict]:
+def _load_entry(path: Path, e: dict, target_sharding=None):
+    """Load one manifest entry. Sharded entries ("shards") either place each
+    shard file straight onto its device (when ``target_sharding``'s shard
+    grid matches the saved one — no full host array ever exists) or assemble
+    on host for resharding into any other layout."""
+    if "shards" not in e:
+        return np.load(path / e["file"])
+    shape = tuple(e["shape"])
+    if target_sharding is not None:
+        try:
+            idx_map = target_sharding.addressable_devices_indices_map(shape)
+            saved = {tuple((int(a), int(b)) for a, b in s["index"]):
+                     s["file"] for s in e["shards"]}
+
+            def key_of(index):
+                return tuple(
+                    (int(sl.start or 0),
+                     int(sl.stop if sl.stop is not None else d))
+                    for sl, d in zip(index, shape))
+
+            if all(key_of(ix) in saved for ix in idx_map.values()):
+                parts = [jax.device_put(np.load(path / saved[key_of(ix)]),
+                                        dev)
+                         for dev, ix in idx_map.items()]
+                return jax.make_array_from_single_device_arrays(
+                    shape, target_sharding, parts)
+        except Exception:
+            pass  # fall through to host assembly
+    out = np.zeros(shape, np.dtype(e["dtype"]))
+    for s in e["shards"]:
+        sl = tuple(slice(a, b) for a, b in s["index"])
+        out[sl] = np.load(path / s["file"])
+    return out
+
+
+def load_checkpoint(path, target: Any, model_config=None,
+                    shardings=None) -> Tuple[Any, dict]:
     """Restore ``target``-shaped state from a checkpoint directory.
 
     New layout: leaves match by TREE PATH (manifest) with shape+dtype checks;
     ``model_config`` (if given) is verified against the saved meta first.
     Big tables convert between their packed and unpacked storage layouts
     (train on a mesh, serve single-chip, or vice versa — _convert_layout).
+    Mesh-sharded saves restore into any layout (host reassembly), or shard-
+    direct to devices when ``shardings`` (a {tree path: jax Sharding} dict)
+    matches the saved shard grid.
     Legacy layout (single msgpack blob): positional restore with shape guard.
     """
     path = Path(path)
@@ -256,7 +370,8 @@ def load_checkpoint(path, target: Any, model_config=None) -> Tuple[Any, dict]:
                 "(model/optimizer definition changed between save and load)")
         leaves = []
         for e, (p, t) in zip(saved, flat):
-            arr = np.load(path / e["file"])
+            arr = _load_entry(path, e,
+                              (shardings or {}).get(p))
             if tuple(arr.shape) != tuple(np.shape(t)):
                 conv = _convert_layout(arr, np.shape(t))
                 if conv is None:

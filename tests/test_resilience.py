@@ -217,3 +217,68 @@ def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
     with pytest.raises(FaultInjected):
         run_supervised(always_fail, tmp_path, template, max_restarts=2,
                        verbose=False)
+
+
+def test_sharded_checkpoint_save_and_restore(small_setup, tmp_path):
+    """Mesh-sharded state saves PER-SHARD files (no gather of any sharded
+    leaf — the manifest lists one file per shard extent), restores (a) into
+    an unsharded logical-shape template via host reassembly + the row-pad
+    layout conversion, (b) shard-direct onto the mesh via `shardings`
+    (make_array_from_single_device_arrays — no full host array), and a kill
+    mid-write still leaves only a .tmp staging dir."""
+    import json
+
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+
+    model, cfg, loader, tables, tx, step = _setup(small_setup)
+    mesh = build_mesh(MeshConfig(data=8))
+    cfg_m = cfg.replace(mesh=MeshConfig(data=8))
+    state, tx_m = PT.init_sharded_state(model, cfg_m, mesh)
+
+    h = CK.save_checkpoint_async(tmp_path, state, global_step=5,
+                                 valid_loss=0.5, model_config=model.cfg)
+    path = h.result()
+    manifest = json.loads((path / "manifest.json").read_text())
+    by_path = {e["path"]: e for e in manifest["leaves"]}
+    # TrainState flattens positionally: params is child 0
+    emb_key = next(k for k in by_path if k.endswith("/item_emb")
+                   and k.startswith("0"))
+    assert "shards" in by_path[emb_key], "table leaf was not saved per-shard"
+    assert len(by_path[emb_key]["shards"]) == 8
+
+    # (a) host reassembly into the logical-shape single-device template:
+    # the saved table carries shard-pad rows; _convert_layout cuts them
+    template = init_state(model, tx_m, cfg.train.seed)
+    restored, _ = CK.load_checkpoint(path, template, model_config=model.cfg)
+    V = template.params["item_emb"].shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["item_emb"]),
+        np.asarray(state.params["item_emb"])[:V])
+
+    # (b) shard-direct restore onto the same mesh: each shard file lands on
+    # its device; the result is a sharded jax Array, not a numpy assembly
+    got = CK._load_entry(path, by_path[emb_key],
+                         state.params["item_emb"].sharding)
+    assert hasattr(got, "sharding")
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(state.params["item_emb"]))
+
+    # full-tree shardings path through load_checkpoint
+    shardings = {CK._path_str(p): leaf.sharding for p, leaf in
+                 jax.tree_util.tree_flatten_with_path(state)[0]}
+    restored_m, _ = CK.load_checkpoint(
+        path, jax.tree.map(lambda x: x, state), model_config=model.cfg,
+        shardings=shardings)
+    assert len(restored_m.params["item_emb"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(restored_m.params["item_emb"]),
+                                  np.asarray(state.params["item_emb"]))
+
+    # kill mid-write on the sharded snapshot
+    with pytest.raises(RuntimeError, match="injected"):
+        CK.save_checkpoint(tmp_path, state, global_step=9,
+                           _fault_after_files=3)
+    latest = CK.latest_checkpoint(tmp_path)
+    assert latest is not None and latest.name.startswith("global_step5")
