@@ -35,7 +35,10 @@ def get_args(argv=None):
     p.add_argument("--block_type", default=None, choices=["mha", "hstu"])
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--norm_first", action="store_true")
-    p.add_argument("--ann_method", default="exact", choices=["exact", "hnsw"])
+    p.add_argument("--ann_method", default="exact",
+               choices=["exact", "hnsw", "semantic"])
+    p.add_argument("--beam_width", default=32, type=int,
+                   help="beam width for --ann_method semantic")
     p.add_argument("--num_workers", default=8, type=int)
     return p.parse_args(argv)
 
@@ -159,7 +162,15 @@ def infer(argv=None):
         json.dump(retrieve_id2creative_id, f)
 
     rcfg = dataclasses.replace(cfg.retrieval, method=args.ann_method)
-    out = run_ann(result_dir, rcfg)
+    if args.ann_method == "semantic":
+        # generative retrieval over the same file contract: beam-decode
+        # semantic ids through the cli.semantic artifacts
+        from ..retrieval.semantic_serve import run_semantic_ann
+
+        out = run_semantic_ann(result_dir, env.model_output_path, rcfg,
+                               beam_width=args.beam_width)
+    else:
+        out = run_ann(result_dir, rcfg)
     top10s_retrieved = formats.read_result_ids(out)
     top10s = [[retrieve_id2creative_id.get(int(r), 0) for r in row]
               for row in top10s_retrieved]

@@ -153,6 +153,16 @@ def main(argv=None):
                              num_steps=args.head_steps)
     print(f"decode head final loss: {head['final_loss']:.4f}")
 
+    # persist the tokenizer + decode head next to the model checkpoint so
+    # cli.infer --ann_method semantic can serve them
+    from ..retrieval.semantic_serve import save_semantic_artifacts
+
+    art = save_semantic_artifacts(env.model_output_path, rq.params,
+                                  head["params"], rqcfg,
+                                  input_dim=item_reprs.shape[1],
+                                  query_dim=queries.shape[1])
+    print(f"semantic serving artifacts: {art}")
+
     # 4) self-eval: decode-head retrieval HR on the training pairs, against
     # the exact-MIPS baseline over the SAME item embeddings and queries
     k = cfg.retrieval.top_k

@@ -111,3 +111,59 @@ def test_beam_decode_consistency():
                                                  cfg2))
     np.testing.assert_allclose(np.asarray(scores2)[:, 0], full.max(axis=1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_semantic_serving_file_contract(tmp_path):
+    """--ann_method semantic end-to-end on disk: artifacts saved by the
+    cli.semantic helper, query.fbin/embedding.fbin/id.u64bin in, the
+    reference's id100.u64bin out (retrieval ids from the candidate set),
+    cluster quality matching the in-memory beam retriever."""
+    from tencent_recommendation_2025_tpu.config import RetrievalConfig
+    from tencent_recommendation_2025_tpu.data import formats
+    from tencent_recommendation_2025_tpu.retrieval import semantic_serve as SS
+
+    rng = np.random.default_rng(7)
+    cfg = RQVAEConfig(num_levels=2, codebook_size=16, code_dim=8,
+                      enc_hidden=(32,), lr=3e-3)
+    n_items, d = 257, 24
+    centers = rng.standard_normal((8, d)) * 3
+    assign = rng.integers(0, 8, n_items)
+    reprs = centers[assign] + 0.15 * rng.standard_normal((n_items, d))
+    reprs[0] = 0
+    rq = train_rqvae(reprs.astype(np.float32), cfg, num_steps=400,
+                     batch_size=128)
+    m = 512
+    pos = rng.integers(1, n_items, m)
+    queries = (reprs[pos] + 0.1 * rng.standard_normal((m, d))).astype(
+        np.float32)
+    head = train_genret_head(rq, queries, pos, cfg, num_steps=400,
+                             batch_size=256)
+
+    # artifacts round-trip through the checkpoint layout
+    art = SS.save_semantic_artifacts(tmp_path, rq.params, head["params"],
+                                     cfg, input_dim=d, query_dim=d)
+    assert art.exists()
+    rq_l, head_l, cfg_l = SS.load_semantic_artifacts(tmp_path)
+    for a, b in zip(__import__("jax").tree.leaves(rq_l),
+                    __import__("jax").tree.leaves(rq.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # serving corpus: the real items (row 0 dropped), retrieval ids offset
+    # so ids != row indices (catches index/id mixups)
+    result_dir = tmp_path / "result"
+    result_dir.mkdir()
+    rid = (np.arange(1, n_items, dtype=np.uint64) + 1000)
+    formats.save_emb(reprs[1:].astype(np.float32),
+                     result_dir / "embedding.fbin")
+    formats.save_emb(rid.reshape(-1, 1), result_dir / "id.u64bin")
+    formats.save_emb(queries[:64], result_dir / "query.fbin")
+
+    out = SS.run_semantic_ann(result_dir, tmp_path,
+                              RetrievalConfig(top_k=10), beam_width=16)
+    got = formats.read_result_ids(out)
+    assert got.shape == (64, 10)
+    assert set(np.unique(got)) <= set(rid.tolist())
+    # retrieved items should mostly share the query's cluster
+    hit = np.mean([assign[got[i] - 1000].tolist().count(assign[pos[i]]) / 10
+                   for i in range(64)])
+    assert hit > 0.5, hit
