@@ -28,7 +28,9 @@ def get_args(argv=None):
     p.add_argument("--num_blocks", default=None, type=int)
     p.add_argument("--num_heads", default=None, type=int)
     p.add_argument("--dropout_rate", default=None, type=float)
-    p.add_argument("--device", default=None, type=str)
+    p.add_argument("--device", default=None, type=str,
+                   help="'cpu' forces the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS alone)")
     p.add_argument("--mm_emb_id", nargs="+", default=["81"], type=str,
                    choices=[str(s) for s in range(81, 87)])
     p.add_argument("--preset", default="baseline")
@@ -60,6 +62,11 @@ def infer(argv=None):
     from ..train.trainer import device_tables, init_state, make_optimizer
 
     import jax
+
+    if args.device == "cpu":
+        # the axon plugin ignores JAX_PLATFORMS=cpu; the config update is
+        # required too (tests/conftest.py does the same)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     env = EnvPaths.from_env()

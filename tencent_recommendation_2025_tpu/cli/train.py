@@ -35,8 +35,10 @@ def get_args(argv=None):
     p.add_argument("--dropout_rate", default=None, type=float)
     p.add_argument("--l2_emb", default=None, type=float)
     p.add_argument("--device", default=None, type=str,
-                   help="accepted for reference compatibility; ignored "
-                        "(JAX owns placement)")
+                   help="'cpu' forces the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS alone); other values are "
+                        "accepted for reference compatibility (JAX owns "
+                        "placement)")
     p.add_argument("--inference_only", action="store_true")
     p.add_argument("--state_dict_path", default=None, type=str,
                    help="checkpoint dir (or file) to resume from")
@@ -110,6 +112,11 @@ def main(argv=None):
     # an unpacked [V/S, D] shard would re-stage the lane-padded 2x copy on
     # every touch (the round-2 layout finding).
     import jax
+
+    if args.device == "cpu":
+        # the sandbox's axon plugin ignores JAX_PLATFORMS=cpu — the config
+        # update is required too (tests/conftest.py does the same)
+        jax.config.update("jax_platforms", "cpu")
 
     # counter-based RBG PRNG, matching bench.py: threefry dropout-mask
     # generation is pure VPU work and measures at ~10% of the flagship step

@@ -45,23 +45,54 @@ class SeqRecModel:
         return params
 
     # ---- towers --------------------------------------------------------
+    def _ep_override(self, params: Mapping, ids: jnp.ndarray,
+                     mesh) -> Optional[jnp.ndarray]:
+        """Explicit EP lookup for the DENSE mesh path: exchange only the ids
+        each table shard owns via all-to-all (parallel/sharded_embedding.
+        sharded_lookup_a2a) instead of XLA default SPMD.
+
+        Measured (benchmarks/ep_ab.py, 8-dev mesh, 1M x 64 table, 16K ids):
+        XLA's default gather transpose all-reduces the FULL dense table
+        gradient (268 MB — 26.8 GB at the 100M-row target) and moves 4.2 MB
+        forward; the a2a moves 1.06 MB each way and 8x less backward.
+        Applies when the table is a plain array (sparse training gathers
+        rows host-planned instead) on a data-only mesh; other meshes keep
+        XLA SPMD (the a2a exchanges over ``data`` alone)."""
+        from ..ops.sparse_table import GatheredRows, is_packed
+
+        tbl = params["item_emb"]
+        if (mesh is None or isinstance(tbl, GatheredRows) or is_packed(tbl)
+                or mesh.shape.get("data", 1) <= 1
+                or any(mesh.shape.get(a, 1) != 1
+                       for a in ("model", "seq", "pipe"))):
+            return None
+        from ..parallel.sharded_embedding import sharded_lookup_a2a
+
+        emb = sharded_lookup_a2a(mesh, tbl, ids)
+        return emb.astype(jnp.dtype(self.cfg.dtype))
+
     def item_embeddings(self, params: Mapping, ids: jnp.ndarray,
                         item_sparse: jnp.ndarray, item_array: jnp.ndarray,
                         mm_tables: Mapping[str, jnp.ndarray],
                         mm_override: Optional[Mapping[str, jnp.ndarray]] = None,
-                        lookup_site: Optional[str] = None) -> jnp.ndarray:
+                        lookup_site: Optional[str] = None,
+                        mesh=None) -> jnp.ndarray:
         """Item tower on explicit ids+features (include_user=False path).
 
         ``mm_override`` supplies explicit multimodal vectors (candidate corpus
         cold items); otherwise vectors are gathered from ``mm_tables`` by id.
         ``lookup_site`` names the call site for sparse-training lookup plans.
+        ``mesh`` routes the id-embedding gather through the explicit EP
+        all-to-all on dense data-parallel meshes (see _ep_override).
         """
         mm_vecs = mm_override if mm_override is not None else \
             E.gather_mm(mm_tables, ids, self.schema,
                         dtype=jnp.dtype(self.cfg.dtype))
         return E.item_tower(params, ids, item_sparse, item_array, mm_vecs,
                             self.fused, self.schema, self.cfg,
-                            lookup_site=lookup_site)
+                            lookup_site=lookup_site,
+                            item_emb_override=self._ep_override(params, ids,
+                                                                mesh))
 
     # ---- encoder (log2feats) ------------------------------------------
     def log2feats(self, params: Mapping, batch: Mapping,
@@ -69,8 +100,10 @@ class SeqRecModel:
                   train: bool = False,
                   rng: Optional[jax.Array] = None, mesh=None,
                   pp_microbatches: int = 8) -> jnp.ndarray:
-        fused_emb = E.fuse_sequence(params, batch, mm_tables, self.fused,
-                                    self.schema, self.cfg)
+        seq_ids = jnp.where(batch["token_type"] == 1, batch["seq"], 0)
+        fused_emb = E.fuse_sequence(
+            params, batch, mm_tables, self.fused, self.schema, self.cfg,
+            item_emb_override=self._ep_override(params, seq_ids, mesh))
         enc_rng = None
         if rng is not None:
             rng, enc_rng = jax.random.split(rng)
@@ -120,7 +153,7 @@ class SeqRecModel:
             sparse = cons(sparse, ("pipe", "data"), "seq")
             array = cons(array, ("pipe", "data"), "seq")
         both = self.item_embeddings(params, ids, sparse, array, mm_tables,
-                                    lookup_site="posneg")
+                                    lookup_site="posneg", mesh=mesh)
         if mesh is not None:
             both = cons(both, ("pipe", "data"), "seq")
         pos_embs, neg_embs = jnp.split(both, 2, axis=0)

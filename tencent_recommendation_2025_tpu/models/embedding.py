@@ -430,10 +430,14 @@ def gather_mm(mm_tables: Mapping[str, jnp.ndarray], ids: jnp.ndarray,
 
 def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
                   fused: FusedVocab, schema: FeatureSchema,
-                  cfg: ModelConfig) -> jnp.ndarray:
+                  cfg: ModelConfig,
+                  item_emb_override: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
     """The include_user=True fusion (reference model.py:302-310): run both
     towers on the full sequence and add them. Token disambiguation multiplies
-    ids by the type mask before lookup (reference model.py:239-243)."""
+    ids by the type mask before lookup (reference model.py:239-243).
+    ``item_emb_override``: pre-gathered id embeddings for the item tokens
+    (the explicit EP lookup path — models/baseline._ep_override)."""
     seq = batch["seq"]
     tt = batch["token_type"]
     item_ids = jnp.where(tt == 1, seq, 0)
@@ -442,7 +446,7 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
                         dtype=jnp.dtype(cfg.dtype))
     it = item_tower(params, item_ids, batch["seq_item_sparse"],
                     batch["seq_item_array"], mm_vecs, fused, schema, cfg,
-                    lookup_site="seq")
+                    lookup_site="seq", item_emb_override=item_emb_override)
     ut = user_tower(params, user_ids, batch["seq_user_sparse"],
                     batch["seq_user_array"], fused, cfg)
     return it + ut

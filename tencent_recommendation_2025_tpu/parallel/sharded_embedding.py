@@ -144,7 +144,12 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         flat = local_ids.reshape(-1)
         n_local = flat.shape[0]
         cap = int(np.ceil(n_local / n_data * capacity_factor))
+        # padding ids (0) route to the SENDING shard: recsys batches are
+        # full of them and they'd all bucket at shard 0 (owner of row 0),
+        # overflowing its capacity and silently zeroing real low ids; the
+        # output for id 0 is masked regardless of which shard served it
         owner = jnp.clip(flat // rows_per_shard, 0, n_data - 1)
+        owner = jnp.where(flat == 0, di, owner)
 
         # stable bucket-position of each id within its owner group
         onehot = jax.nn.one_hot(owner, n_data, dtype=jnp.int32)  # [n, S]

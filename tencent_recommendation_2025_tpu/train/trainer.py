@@ -138,7 +138,7 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         pos_embs = model.item_embeddings(params, batch["pos"],
                                          batch["pos_item_sparse"],
                                          batch["pos_item_array"], mm_tables,
-                                         lookup_site="pos")
+                                         lookup_site="pos", mesh=mesh)
         n = cfg.train.num_sampled_negatives
         # the sparse-table step pre-samples negatives (their ids must join
         # the touched-row dedup before the loss runs)
@@ -149,6 +149,7 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
                                          neg_array, mm_tables,
                                          lookup_site="negs")
+        # (negs stay on XLA SPMD: the sampled list is tiny and replicated)
         loss_mask = batch["next_token_type"] == 1
         if "sample_valid" in batch:
             loss_mask &= batch["sample_valid"][:, None] > 0

@@ -217,3 +217,45 @@ def test_dp_grad_equivalence(small_setup, mesh8):
     for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-5)
+
+
+@requires_8
+def test_dense_mesh_step_routes_through_explicit_a2a(small_setup):
+    """The dense data-parallel mesh step's id-embedding gathers ride the
+    explicit all-to-all (models/baseline._ep_override — XLA's default SPMD
+    choice all-reduces the FULL dense table gradient, benchmarks/ep_ab.py):
+    the compiled train step contains all-to-all ops AND its loss matches
+    the single-device step."""
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+    from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+    from tencent_recommendation_2025_tpu.data.pipeline import collate_train
+
+    model = small_setup["model"]
+    cfg = small_setup["cfg"].replace(mesh=MeshConfig(data=8))
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=model.cfg.maxlen)
+    rng = np.random.default_rng(1)
+    batch = collate_train([sampler.sample(i, rng) for i in range(8)], 8)
+    tables = device_tables(small_setup["tables"])
+    key = jax.random.key(5)
+
+    # single-device reference
+    tx = make_optimizer(cfg)
+    s0 = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    _, m0 = make_train_step(model, tx, cfg)(
+        s0, jax.device_put(batch), tables["mm"], tables, key)
+
+    mesh = build_mesh(cfg.mesh)
+    state, tx_m = PT.init_sharded_state(model, cfg, mesh)
+    stables = PT.shard_tables(mesh, tables)
+    step = PT.make_sharded_train_step(model, tx_m, cfg, mesh)
+    bsh = PT.shard_batch(mesh, batch)
+    hlo = step.lower(state, bsh, stables["mm"], stables, key) \
+        .compile().as_text()
+    assert "all-to-all" in hlo, "explicit EP a2a not in the compiled step"
+    state, metrics = step(state, bsh, stables["mm"], stables, key)
+    assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]),
+                                                   rel=2e-5)
