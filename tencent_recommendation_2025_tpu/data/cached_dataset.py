@@ -36,14 +36,55 @@ _FIXED_FIELDS = ("seq", "pos", "token_type", "next_token_type",
                  "pos_item_array")
 
 
+class SeenCSR:
+    """Sorted-CSR seen-item membership (full-history sets, reference ``ts``
+    semantics, ``dataset.py:137-141``).
+
+    Replaces the round-2 per-user frozensets + [U, 8192] bool hash: at the
+    north-star user counts those cost GBs of host RAM and minutes of python
+    object construction; here membership is two arrays (values + offsets,
+    memmap-able straight off the native cache's CSR files) and a per-user
+    binary search. ``cache.seen_sets[u]`` still materializes one user's
+    frozenset for tests/debugging."""
+
+    def __init__(self, vals: np.ndarray, offs: np.ndarray):
+        assert offs.ndim == 1 and offs[-1] == len(vals)
+        self.vals = vals            # sorted within each user segment; may
+        self.offs = offs            # be a read-only np.memmap
+
+    @classmethod
+    def from_sets(cls, seen_iter) -> "SeenCSR":
+        segs = [np.sort(np.asarray([i for i in s if i > 0], np.int32))
+                for s in seen_iter]
+        offs = np.zeros(len(segs) + 1, np.int64)
+        np.cumsum([len(s) for s in segs], out=offs[1:])
+        vals = np.concatenate(segs) if segs else np.zeros(0, np.int32)
+        return cls(vals.astype(np.int32), offs)
+
+    def __len__(self) -> int:
+        return len(self.offs) - 1
+
+    def __getitem__(self, u: int) -> frozenset:
+        return frozenset(self.vals[self.offs[u]:self.offs[u + 1]].tolist())
+
+    def contains(self, uids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """[B, ...] bool: ids[b, ...] in user uids[b]'s seen set. Exact
+        (binary search per user segment) — no hash false positives."""
+        out = np.zeros(ids.shape, bool)
+        for b, u in enumerate(np.asarray(uids)):
+            seg = self.vals[self.offs[u]:self.offs[u + 1]]
+            if len(seg):
+                j = np.minimum(np.searchsorted(seg, ids[b]), len(seg) - 1)
+                out[b] = seg[j] == ids[b]
+        return out
+
+
 class PackedCache:
     """All users' fixed sample fields packed into contiguous arrays."""
 
-    def __init__(self, sampler: TrainSampler, num_workers: int = 16,
-                 seen_hash_size: int = 1 << 13):
+    def __init__(self, sampler: TrainSampler, num_workers: int = 16):
         self.sampler = sampler
         n = len(sampler)
-        rng = np.random.default_rng(0)  # fixed fields ignore the rng
 
         def build(uid):
             return sampler.sample(uid, np.random.default_rng((0, uid)),
@@ -61,15 +102,7 @@ class PackedCache:
         # FULL-history item set (reference ts, dataset.py:137-141), not the
         # maxlen window — a user with a long history must not get pre-window
         # items as negatives (the native loader's CSR uses full history too)
-        self.hash_size = seen_hash_size
-        self.seen_hash = np.zeros((n, seen_hash_size), dtype=bool)
-        for u, (_, seen) in enumerate(pairs):
-            items = np.fromiter((i for i in seen if i > 0), np.int64,
-                                count=-1)
-            if len(items):
-                self.seen_hash[u, items % seen_hash_size] = True
-        # exact seen sets for the (rare) hash-hit verification
-        self.seen_sets = [frozenset(seen) - {0} for _, seen in pairs]
+        self.seen_sets = SeenCSR.from_sets(seen for _, seen in pairs)
 
         self.neg_ok = sampler._neg_ok.copy()
         self.valid_ids = np.nonzero(self.neg_ok)[0]
@@ -90,22 +123,14 @@ class PackedCache:
             if not pending.any():
                 break
             draw = rng.integers(1, self.itemnum + 1, (B, L))
-            ok_feat = self.neg_ok[draw]
-            maybe_seen = self.seen_hash[uids[:, None], draw % self.hash_size]
-            accept = pending & ok_feat & ~maybe_seen
-            # hash hits can be false positives (bucket collision with a seen
-            # item) — verify the rare cases against the exact set so valid ids
-            # sharing a bucket with a seen item are not shadowed and the final
-            # distribution stays uniform over all valid ids
-            hit = pending & ok_feat & maybe_seen
-            for b, l in zip(*np.nonzero(hit)):
-                if int(draw[b, l]) not in self.seen_sets[uids[b]]:
-                    accept[b, l] = True
+            # exact CSR membership — no hash false positives to re-verify
+            accept = pending & self.neg_ok[draw] \
+                & ~self.seen_sets.contains(uids, draw)
             neg = np.where(accept, draw, neg)
             pending &= ~accept
-        # leftovers (hash false-positives / unlucky draws): exact per-position
+        # leftovers (unlucky draws): exact per-position redraw
         for b, l in zip(*np.nonzero(pending)):
-            seen = self.seen_sets[uids[b]]
+            seen = self.seen_sets[int(uids[b])]
             t = int(rng.integers(1, self.itemnum + 1))
             while t in seen or not self.neg_ok[t]:
                 t = int(rng.integers(1, self.itemnum + 1))

@@ -95,19 +95,37 @@ def load_native_cache(cache_dir: Path, sampler: TrainSampler) -> PackedCache:
     self = PackedCache.__new__(PackedCache)
     self.sampler = sampler
     self.fields = {}
-    for name, shape in shapes.items():
-        arr = np.fromfile(cache_dir / f"{name}.bin", dtype=np.int32)
-        self.fields[name] = arr.reshape((U, *shape))
+    def mm(path):
+        # memmap, not fromfile: batches slice out only their rows, so the
+        # host never pages in the full field arrays (GBs at millions of
+        # users; the OS cache keeps hot pages). mmap rejects empty files
+        # (zero-width feature blocks / users with no history).
+        if path.stat().st_size == 0:
+            return np.zeros(0, np.int32)
+        return np.memmap(path, dtype=np.int32, mode="r")
 
-    vals = np.fromfile(cache_dir / "seen_values.bin", dtype=np.int32)
+    for name, shape in shapes.items():
+        self.fields[name] = mm(cache_dir / f"{name}.bin").reshape(
+            (U, *shape))
+
     offs = np.fromfile(cache_dir / "seen_offsets.bin", dtype=np.int64)
-    assert len(offs) == U + 1 and offs[-1] == len(vals)
-    self.hash_size = 1 << 13
-    self.seen_hash = np.zeros((U, self.hash_size), dtype=bool)
-    rows = np.repeat(np.arange(U), np.diff(offs))
-    self.seen_hash[rows, vals % self.hash_size] = True
-    self.seen_sets = [frozenset(vals[offs[u]:offs[u + 1]].tolist())
-                      for u in range(U)]
+    vals_mm = mm(cache_dir / "seen_values.bin")
+    assert len(offs) == U + 1 and offs[-1] == len(vals_mm)
+    # one-time sidecar: per-user-sorted seen values (binary-search
+    # membership needs sorted segments; the lexsort is fully vectorized)
+    sorted_path = cache_dir / "seen_values_sorted.bin"
+    if not sorted_path.exists() or \
+            sorted_path.stat().st_size != vals_mm.nbytes:
+        vs = np.asarray(vals_mm)
+        rows = np.repeat(np.arange(U), np.diff(offs))
+        order = np.lexsort((vs, rows))
+        tmp = sorted_path.with_suffix(".tmp")
+        vs[order].tofile(tmp)
+        tmp.rename(sorted_path)
+    from .cached_dataset import SeenCSR
+
+    self.seen_sets = SeenCSR(
+        np.memmap(sorted_path, dtype=np.int32, mode="r"), offs)
     self.neg_ok = sampler._neg_ok.copy()
     self.valid_ids = np.nonzero(self.neg_ok)[0]
     self.itemnum = sampler.itemnum

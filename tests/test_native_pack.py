@@ -34,7 +34,10 @@ def test_native_seen_sets_match_python(sampler, tmp_path):
     assert len(py.seen_sets) == len(nat.seen_sets)
     for u, (a, b) in enumerate(zip(py.seen_sets, nat.seen_sets)):
         assert a == b, f"user {u}"
-    np.testing.assert_array_equal(py.seen_hash, nat.seen_hash)
+    np.testing.assert_array_equal(np.asarray(py.seen_sets.offs),
+                                  np.asarray(nat.seen_sets.offs))
+    np.testing.assert_array_equal(np.asarray(py.seen_sets.vals),
+                                  np.asarray(nat.seen_sets.vals))
     np.testing.assert_array_equal(py.neg_ok, nat.neg_ok)
 
 
