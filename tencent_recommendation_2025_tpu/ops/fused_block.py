@@ -48,7 +48,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .hstu_attention import (BLK, _bias_tiles, _bias_tiles_transpose,
-                             _diag_causal, _dsilu, _stripe_bias)
+                             _dsilu, _stripe_bias)
+
+# stripe q-block width. 128 measured best on v5e: 256 halves the stripe
+# count but one flagship block fwd+bwd measured 3.99 ms vs 3.26 ms at 128
+# (2026-08-18) — the [256, L] f32 stripe intermediates pressure the vector
+# registers, the same failure mode as the chunked kernel's 512 block
+FB_BLK = BLK
+
+
+def _diag_causal(n_kb, blk):
+    import jax as _jax
+    iq = _jax.lax.broadcasted_iota(jnp.int32, (blk, n_kb * blk), 0)
+    ik = _jax.lax.broadcasted_iota(jnp.int32, (blk, n_kb * blk), 1)
+    return (iq + (n_kb - 1) * blk) >= ik
 
 _EPS = 1e-8  # models/embedding.layernorm default
 
@@ -91,10 +104,11 @@ def _attn_fwd_stripes(q16, k16, v16, kv_ok, tiles_ref, av_acc, *,
     f32 = jnp.float32
     D = q16.shape[-1]
     hd = D // num_heads
+    blk = tiles_ref.shape[-1]
     for qb in range(n_blocks):
-        ks = (qb + 1) * BLK
-        qsl = slice(qb * BLK, (qb + 1) * BLK)
-        m = jnp.logical_and(_diag_causal(qb + 1),
+        ks = (qb + 1) * blk
+        qsl = slice(qb * blk, (qb + 1) * blk)
+        m = jnp.logical_and(_diag_causal(qb + 1, blk),
                             kv_ok[:, :ks]).astype(f32) / seq_len
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
@@ -115,13 +129,14 @@ def _attn_bwd_stripes(q16, k16, v16, dav, kv_ok, tiles_ref, dtiles_ref,
     cdt = q16.dtype
     D = q16.shape[-1]
     hd = D // num_heads
+    blk = tiles_ref.shape[-1]
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
     dq_rows = []
     for qb in range(n_blocks):
-        ks = (qb + 1) * BLK
-        qsl = slice(qb * BLK, (qb + 1) * BLK)
-        m = jnp.logical_and(_diag_causal(qb + 1),
+        ks = (qb + 1) * blk
+        qsl = slice(qb * blk, (qb + 1) * blk)
+        m = jnp.logical_and(_diag_causal(qb + 1, blk),
                             kv_ok[:, :ks]).astype(f32) / seq_len
         dqs = []
         for h in range(num_heads):
@@ -138,7 +153,7 @@ def _attn_bwd_stripes(q16, k16, v16, dav, kv_ok, tiles_ref, dtiles_ref,
             dk_acc[:ks, sl] += _dot(ds_c, q16[qsl, sl], ((0,), (0,)))
             for kb in range(qb + 1):
                 slot = min(qb - kb, n_tiles - 1)
-                dtiles_ref[h, slot] += ds[:, kb * BLK:(kb + 1) * BLK]
+                dtiles_ref[h, slot] += ds[:, kb * blk:(kb + 1) * blk]
         dq_rows.append(jnp.concatenate(dqs, axis=-1) * scale)
     return jnp.concatenate(dq_rows, axis=0)
 
@@ -329,7 +344,7 @@ def _specs(L, D, F, H, nt):
         _full((1, D)),                                           # bo
         _full((D, 2 * F)),                                       # w13
         _full((F, D)),                                           # w2
-        _full((H, nt, BLK, BLK)),                                # bias tiles
+        _full((H, nt, FB_BLK, FB_BLK)),                          # bias tiles
     ]
 
 
@@ -346,7 +361,7 @@ def _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
                     seed1, num_heads, rate, train, interpret):
     B, L, D = x.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, BLK)
+    tiles = _bias_tiles(rab, FB_BLK)
     H, nt = tiles.shape[0], tiles.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
@@ -357,7 +372,7 @@ def _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
     hd = D // num_heads
     out, av = pl.pallas_call(
         functools.partial(_fwd_kernel, seq_len=L, n_tiles=nt,
-                          num_heads=num_heads, n_blocks=L // BLK,
+                          num_heads=num_heads, n_blocks=L // FB_BLK,
                           scale=hd ** -0.5, rate=rate, train=train),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, L, D), x.dtype),
@@ -380,7 +395,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
     x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2, seed1, av = res
     B, L, D = x.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, BLK)
+    tiles = _bias_tiles(rab, FB_BLK)
     H, nt = tiles.shape[0], tiles.shape[1]
     in_specs = _specs(L, D, F, H, nt) + [
         _batch((1, L, D)),                                       # av
@@ -393,7 +408,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
             _batch((1, L, D)),                                   # dx
             _full((6, D)), _full((D, 4 * D)), _full((1, 4 * D)),
             _full((D, D)), _full((1, D)), _full((D, 2 * F)),
-            _full((F, D)), _full((H, nt, BLK, BLK)),
+            _full((F, D)), _full((H, nt, FB_BLK, FB_BLK)),
         ],
         scratch_shapes=[pltpu.VMEM((L, D), jnp.float32),
                         pltpu.VMEM((L, D), jnp.float32)],
@@ -401,7 +416,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
     hd = D // num_heads
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, seq_len=L, n_tiles=nt,
-                          num_heads=num_heads, n_blocks=L // BLK,
+                          num_heads=num_heads, n_blocks=L // FB_BLK,
                           scale=hd ** -0.5, rate=rate, train=train),
         grid_spec=grid_spec,
         out_shape=[
@@ -413,7 +428,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((D, 2 * F), jnp.float32),
             jax.ShapeDtypeStruct((F, D), jnp.float32),
-            jax.ShapeDtypeStruct((H, nt, BLK, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((H, nt, FB_BLK, FB_BLK), jnp.float32),
         ],
         interpret=interpret,
     )(seed1, x, valid3, ln, wuvqk, buvqk, wo, bo, w13, w2, tiles, av, dout)
@@ -433,7 +448,7 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
         return False
     if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
         return False
-    if not (256 <= L <= MAX_WHOLESEQ_L and L % BLK == 0):
+    if not (256 <= L <= MAX_WHOLESEQ_L and L % FB_BLK == 0):
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
         return False
