@@ -234,8 +234,41 @@ def masked_take(table: jnp.ndarray, ids: jnp.ndarray,
         return emb * (ids != 0)[..., None].astype(emb.dtype)
     if dtype is not None:
         table = table.astype(dtype)
+    return _zero_safe_take(table, ids)
+
+
+@jax.custom_vjp
+def _zero_safe_take(table, ids):
+    """``take * (ids != 0)`` whose backward DROPS padding-id contributions.
+
+    Recsys batches are full of id-0 lanes (padding, masked token types) and
+    XLA's take-transpose is a scatter-add that SERIALIZES on duplicate
+    indices on TPU — ~131K collisions on row 0 measured 14.4 ms of the user
+    tower's 15.1 ms backward at the flagship shape. Those contributions are
+    exactly zero (the mask above) and the reference's padding_idx=0 contract
+    freezes row 0 anyway (torch nn.Embedding zeroes its grad), so the
+    backward scatters only id>0 lanes (row-0 grad is identically 0)."""
     emb = jnp.take(table, ids, axis=0, mode="clip")
     return emb * (ids != 0)[..., None].astype(emb.dtype)
+
+
+def _zst_fwd(table, ids):
+    # the table rides along only for its shape/dtype (same pattern as
+    # _fl_fwd); residuals must be JAX types
+    return _zero_safe_take(table, ids), (table, ids)
+
+
+def _zst_bwd(res, cot):
+    table, ids = res
+    V = table.shape[0]
+    ok = ids != 0
+    safe = jnp.where(ok, ids, V)        # out of range -> mode="drop"
+    cot = cot * ok[..., None].astype(cot.dtype)
+    dtable = jnp.zeros(table.shape, cot.dtype).at[safe].add(cot, mode="drop")
+    return dtable.astype(table.dtype), None
+
+
+_zero_safe_take.defvjp(_zst_fwd, _zst_bwd)
 
 
 def fused_feature_lookup(fused_table: jnp.ndarray, ids: jnp.ndarray,

@@ -113,6 +113,37 @@ def init_encoder_params(key, cfg: ModelConfig) -> Dict:
     }
 
 
+@jax.custom_vjp
+def _positional_take(pos_table, seq_ids):
+    """Positional lookup 1..L zeroed on padding ids (reference
+    model.py:326-328) with a SCATTER-FREE backward.
+
+    The naive take-transpose scatter-adds B duplicate updates per position
+    row, which TPU serializes. But position l maps to row l+1 exactly (or
+    the padding row 0), so the table gradient is a batch-sum written at a
+    static row slice — no scatter. Row 0 stays zero (padding_idx=0, as the
+    reference's pos_emb)."""
+    poss = jax.lax.broadcasted_iota(jnp.int32, seq_ids.shape, 1) + 1
+    poss = poss * (seq_ids != 0)
+    return jnp.take(pos_table, poss, axis=0)
+
+
+def _pt_fwd(pos_table, seq_ids):
+    return _positional_take(pos_table, seq_ids), (pos_table, seq_ids)
+
+
+def _pt_bwd(res, cot):
+    pos_table, seq_ids = res
+    valid = (seq_ids != 0)[..., None].astype(jnp.float32)
+    summed = (cot.astype(jnp.float32) * valid).sum(axis=0)     # [L, D]
+    dtable = jnp.zeros(pos_table.shape, jnp.float32)
+    dtable = jax.lax.dynamic_update_slice(dtable, summed, (1, 0))
+    return dtable.astype(pos_table.dtype), None
+
+
+_positional_take.defvjp(_pt_fwd, _pt_bwd)
+
+
 def attention_mask(seq_ids: jnp.ndarray, token_type: jnp.ndarray
                    ) -> jnp.ndarray:
     """[B, L, L] bool: causal (tril) ∧ key-not-padding
@@ -190,11 +221,7 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
     dtype = jnp.dtype(cfg.dtype)
     B, L, D = fused_emb.shape
     x = fused_emb.astype(dtype) * jnp.asarray(D ** 0.5, dtype)
-
-    # positions 1..L, zeroed where the id is 0 (reference model.py:326-328)
-    poss = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) + 1
-    poss = poss * (seq_ids != 0)
-    x = x + jnp.take(pos_table, poss, axis=0).astype(dtype)
+    x = x + _positional_take(pos_table, seq_ids).astype(dtype)
 
     use_dropout = train and cfg.dropout_rate > 0.0 and rng is not None
     if use_dropout:
