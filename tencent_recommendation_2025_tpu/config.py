@@ -17,6 +17,14 @@ from typing import Optional, Sequence, Tuple
 # (reference model/BaseLine/model.py:183 EMB_SHAPE_DICT).
 MM_EMB_DIMS = {"81": 32, "82": 1024, "83": 3584, "84": 4096, "85": 3584, "86": 3584}
 
+# Static cap on user tokens per sequence row. The TencentGR layout carries
+# the user profile as ONE record per sequence (reference dataset.py:115-121
+# inserts one type-2 token per record that carries user info), so the user
+# tower computes on K gathered positions instead of every [B, L] position
+# (models/embedding.fuse_sequence). The samplers enforce the cap loudly
+# (data/dataset._build_ext_sequence).
+MAX_USER_TOKENS_PER_ROW = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:

@@ -53,6 +53,9 @@ class TestSample:
     user_id: str
 
 
+from ..config import MAX_USER_TOKENS_PER_ROW as _MAX_USER_TOKENS
+
+
 def _build_ext_sequence(user_sequence, test_mode: bool, itemnum: int):
     """Reference ``__getitem__`` interleaving: user tokens inserted at the
     front, item tokens appended (``dataset.py:115-121``)."""
@@ -71,6 +74,14 @@ def _build_ext_sequence(user_sequence, test_mode: bool, itemnum: int):
             if test_mode and i > itemnum:
                 ii = 0  # unseen item: id zeroed, features kept (dataset.py:358-364)
             ext.append((ii, item_feat, 1, action_type))
+    n_user = sum(1 for e in ext if e[2] == 2)
+    if n_user > _MAX_USER_TOKENS:
+        raise ValueError(
+            f"sequence carries {n_user} user-profile tokens > "
+            f"MAX_USER_TOKENS_PER_ROW={_MAX_USER_TOKENS} — the user tower "
+            "computes on that many gathered positions per row "
+            "(models/embedding.fuse_sequence); raise "
+            "config.MAX_USER_TOKENS_PER_ROW for this data layout")
     return ext, user_id
 
 

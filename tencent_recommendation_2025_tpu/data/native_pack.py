@@ -122,6 +122,19 @@ def load_native_cache(cache_dir: Path, sampler: TrainSampler) -> PackedCache:
         tmp = sorted_path.with_suffix(".tmp")
         vs[order].tofile(tmp)
         tmp.rename(sorted_path)
+    # user-token cap check (sampled): the device user tower computes on
+    # MAX_USER_TOKENS_PER_ROW gathered positions (models/embedding) — a
+    # data layout with more per row must fail loudly, incl. via this
+    # python-free loader
+    from ..config import MAX_USER_TOKENS_PER_ROW as _K
+
+    probe = np.asarray(self.fields["token_type"][: min(U, 65536)])
+    worst = int((probe == 2).sum(axis=1).max()) if len(probe) else 0
+    if worst > _K:
+        raise ValueError(
+            f"native cache rows carry {worst} user tokens > "
+            f"MAX_USER_TOKENS_PER_ROW={_K}; raise the config cap")
+
     from .cached_dataset import SeenCSR
 
     self.seen_sets = SeenCSR(

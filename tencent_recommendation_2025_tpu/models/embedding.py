@@ -480,6 +480,36 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
     it = item_tower(params, item_ids, batch["seq_item_sparse"],
                     batch["seq_item_array"], mm_vecs, fused, schema, cfg,
                     lookup_site="seq", item_emb_override=item_emb_override)
-    ut = user_tower(params, user_ids, batch["seq_user_sparse"],
-                    batch["seq_user_array"], fused, cfg)
+    # user tokens are SPARSE (the TencentGR layout carries ONE user-profile
+    # record per sequence — reference dataset.py:115-121): run the user
+    # tower on the first MAX_USER_TOKENS_PER_ROW gathered positions per row
+    # instead of all [B, L] (its backward at [B, L] measured 15 ms of the
+    # flagship step), and broadcast the all-zero-input constant elsewhere —
+    # EXACT because user features are zero-filled at non-user positions
+    # (dataset.py:144-153) and the samplers enforce the token cap loudly.
+    from ..config import MAX_USER_TOKENS_PER_ROW as K
+
+    B, L = seq.shape
+    dtype = jnp.dtype(cfg.dtype)
+    is_u = tt == 2
+    # earliest K user positions per row (top_k of a descending-iota score)
+    score = jnp.where(is_u,
+                      -jax.lax.broadcasted_iota(jnp.int32, (B, L), 1),
+                      jnp.full((B, L), -L - 1, jnp.int32))
+    _, posk = jax.lax.top_k(score, K)                      # [B, K]
+    validk = jnp.take_along_axis(is_u, posk, axis=1)       # [B, K]
+    rows = jnp.arange(B)[:, None]
+    vk = validk.astype(jnp.int32)
+    uk = user_ids[rows, posk] * vk
+    spk = batch["seq_user_sparse"][rows, posk] * vk[..., None]
+    ark = batch["seq_user_array"][rows, posk] * vk[..., None, None]
+    utk = user_tower(params, uk, spk, ark, fused, cfg)     # [B, K, D]
+    zshape = lambda t: jnp.zeros((1, 1) + t.shape[2:], t.dtype)  # noqa: E731
+    const = user_tower(params, zshape(uk), zshape(spk), zshape(ark),
+                       fused, cfg)                         # [1, 1, D]
+    onehot = jnp.logical_and(
+        posk[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2),
+        validk[:, :, None]).astype(dtype)                  # [B, K, L]
+    ut = const + jnp.einsum("bkl,bkd->bld", onehot,
+                            (utk - const).astype(dtype))
     return it + ut

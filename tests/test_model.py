@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tencent_recommendation_2025_tpu.config import ModelConfig
 from tencent_recommendation_2025_tpu.models import embedding as E
@@ -204,3 +205,73 @@ def test_onehot_bwd_repeated_offsets_matches():
     g2 = jax.grad(f_plain)(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_compact_user_tower_matches_full(small_setup):
+    """fuse_sequence's gathered-K user tower (compute on the first
+    MAX_USER_TOKENS_PER_ROW user-token positions, broadcast the
+    zero-input constant elsewhere) == running the user tower at every
+    position — outputs AND gradients, on real sampler batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+    from tencent_recommendation_2025_tpu.data.pipeline import collate_train
+    from tencent_recommendation_2025_tpu.models import embedding as E
+
+    model = small_setup["model"]
+    cfg = model.cfg
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=cfg.maxlen)
+    rng = np.random.default_rng(3)
+    batch = collate_train([sampler.sample(i, rng) for i in range(8)], 8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(2))
+    tables = small_setup["tables"]
+    mm = {k: jnp.asarray(v) for k, v in tables.mm.items()}
+
+    def full_reference(p):
+        """The pre-optimization wiring: towers at every position."""
+        seq, tt = batch["seq"], batch["token_type"]
+        item_ids = jnp.where(tt == 1, seq, 0)
+        user_ids = jnp.where(tt == 2, seq, 0)
+        mm_vecs = E.gather_mm(mm, item_ids, small_setup["schema"],
+                              dtype=jnp.dtype(cfg.dtype))
+        it = E.item_tower(p, item_ids, batch["seq_item_sparse"],
+                          batch["seq_item_array"], mm_vecs,
+                          small_setup["fused"], small_setup["schema"], cfg)
+        ut = E.user_tower(p, user_ids, batch["seq_user_sparse"],
+                          batch["seq_user_array"], small_setup["fused"], cfg)
+        return it + ut
+
+    got = E.fuse_sequence(params, batch, mm, small_setup["fused"],
+                          small_setup["schema"], cfg)
+    want = full_reference(params)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=1e-5)  # bf16 compute
+
+    cot = jnp.asarray(np.random.default_rng(5).standard_normal(got.shape),
+                      jnp.float32)
+    g_new = jax.grad(lambda p: (E.fuse_sequence(
+        p, batch, mm, small_setup["fused"], small_setup["schema"], cfg)
+        .astype(jnp.float32) * cot).sum())(params)
+    g_old = jax.grad(lambda p: (full_reference(p).astype(jnp.float32)
+                                * cot).sum())(params)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_new):
+        b = dict(jax.tree_util.tree_leaves_with_path(g_old))[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_user_token_cap_guard():
+    """A sequence with more user-profile tokens than the cap fails loudly
+    at the sampler (the device fast path would silently drop them)."""
+    from tencent_recommendation_2025_tpu.data.dataset import (
+        _build_ext_sequence)
+
+    recs = [[7, 0, {"103": 1}, None, None, 0]] * 3 \
+        + [[0, 5, None, {"100": 2}, 1, 0]]
+    with pytest.raises(ValueError, match="MAX_USER_TOKENS_PER_ROW"):
+        _build_ext_sequence(recs, test_mode=False, itemnum=10)
