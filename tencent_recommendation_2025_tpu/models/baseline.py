@@ -99,18 +99,23 @@ class SeqRecModel:
                   mm_tables: Mapping[str, jnp.ndarray],
                   train: bool = False,
                   rng: Optional[jax.Array] = None, mesh=None,
-                  pp_microbatches: int = 8) -> jnp.ndarray:
+                  pp_microbatches: int = 8,
+                  return_item_tower: bool = False):
         seq_ids = jnp.where(batch["token_type"] == 1, batch["seq"], 0)
-        fused_emb = E.fuse_sequence(
+        fused_out = E.fuse_sequence(
             params, batch, mm_tables, self.fused, self.schema, self.cfg,
-            item_emb_override=self._ep_override(params, seq_ids, mesh))
+            item_emb_override=self._ep_override(params, seq_ids, mesh),
+            return_item_tower=return_item_tower)
+        fused_emb, it_seq = fused_out if return_item_tower \
+            else (fused_out, None)
         enc_rng = None
         if rng is not None:
             rng, enc_rng = jax.random.split(rng)
-        return ENC.encode(params, fused_emb, batch["seq"],
-                          batch["token_type"], params["pos_emb"], self.cfg,
-                          train=train, rng=enc_rng, mesh=mesh,
-                          pp_microbatches=pp_microbatches)
+        out = ENC.encode(params, fused_emb, batch["seq"],
+                         batch["token_type"], params["pos_emb"], self.cfg,
+                         train=train, rng=enc_rng, mesh=mesh,
+                         pp_microbatches=pp_microbatches)
+        return (out, it_seq) if return_item_tower else out
 
     # ---- training forward ---------------------------------------------
     def forward(self, params: Mapping, batch: Mapping,
@@ -124,25 +129,37 @@ class SeqRecModel:
         Negative-item features are gathered on device from the static item
         tables by id (the host never materializes them — cf. reference
         ``dataset.py:159`` which does dict lookups per position).
+
+        The POSITIVES' tower is the sequence item tower shifted by one:
+        ``pos[idx] == seq[idx+1]`` with identical packed features by
+        construction (data/dataset.TrainSampler — pos and the next seq slot
+        pack the same record), so ``pos_embs[:, :-1] = it_seq[:, 1:]`` and
+        only the final target column runs its own tower; positions whose
+        next token is not an item are masked by the loss anyway. Halves the
+        candidate-tower work vs running pos+neg as one batch (and quarters
+        the reference's two separate full feat2emb passes,
+        ``model.py:376-377``).
         """
-        log_feats = self.log2feats(params, batch, mm_tables, train=train,
-                                   rng=rng, mesh=mesh,
-                                   pp_microbatches=pp_microbatches)
-        # pos and neg run through the item tower as ONE batch (fewer, larger
-        # gathers/matmuls; the reference runs two separate feat2emb passes,
-        # model.py:376-377)
+        log_feats, it_seq = self.log2feats(
+            params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
+            pp_microbatches=pp_microbatches, return_item_tower=True)
+        last = slice(-1, None)
+        pos_last = self.item_embeddings(
+            params, batch["pos"][:, last],
+            batch["pos_item_sparse"][:, last],
+            batch["pos_item_array"][:, last], mm_tables,
+            lookup_site="pos_last", mesh=mesh)
+        pos_embs = jnp.concatenate(
+            [it_seq[:, 1:].astype(pos_last.dtype), pos_last], axis=1)
         neg_sparse = jnp.take(item_tables["sparse"], batch["neg"], axis=0,
                               mode="clip")
         neg_array = jnp.take(item_tables["array"], batch["neg"], axis=0,
                              mode="clip")
-        ids = jnp.concatenate([batch["pos"], batch["neg"]], axis=0)
-        sparse = jnp.concatenate([batch["pos_item_sparse"], neg_sparse],
-                                 axis=0)
-        array = jnp.concatenate([batch["pos_item_array"], neg_array], axis=0)
+        ids, sparse, array = batch["neg"], neg_sparse, neg_array
         if mesh is not None:
-            # keep the candidate-tower path in the batch layout ([2B on data,
-            # L on seq]) — without the hint the SPMD partitioner re-shards the
-            # ids through a full rematerialization (replicate-then-split)
+            # keep the candidate-tower path in the batch layout — without
+            # the hint the SPMD partitioner re-shards the ids through a full
+            # rematerialization (replicate-then-split)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def cons(x, *spec):
@@ -152,11 +169,11 @@ class SeqRecModel:
             ids = cons(ids, ("pipe", "data"), "seq")
             sparse = cons(sparse, ("pipe", "data"), "seq")
             array = cons(array, ("pipe", "data"), "seq")
-        both = self.item_embeddings(params, ids, sparse, array, mm_tables,
-                                    lookup_site="posneg", mesh=mesh)
+        neg_embs = self.item_embeddings(params, ids, sparse, array,
+                                        mm_tables, lookup_site="posneg",
+                                        mesh=mesh)
         if mesh is not None:
-            both = cons(both, ("pipe", "data"), "seq")
-        pos_embs, neg_embs = jnp.split(both, 2, axis=0)
+            neg_embs = cons(neg_embs, ("pipe", "data"), "seq")
         return log_feats, pos_embs, neg_embs
 
     def logits(self, params: Mapping, batch: Mapping,

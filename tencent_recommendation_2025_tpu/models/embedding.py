@@ -464,8 +464,8 @@ def gather_mm(mm_tables: Mapping[str, jnp.ndarray], ids: jnp.ndarray,
 def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
                   fused: FusedVocab, schema: FeatureSchema,
                   cfg: ModelConfig,
-                  item_emb_override: Optional[jnp.ndarray] = None
-                  ) -> jnp.ndarray:
+                  item_emb_override: Optional[jnp.ndarray] = None,
+                  return_item_tower: bool = False):
     """The include_user=True fusion (reference model.py:302-310): run both
     towers on the full sequence and add them. Token disambiguation multiplies
     ids by the type mask before lookup (reference model.py:239-243).
@@ -512,4 +512,8 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
         validk[:, :, None]).astype(dtype)                  # [B, K, L]
     ut = const + jnp.einsum("bkl,bkd->bld", onehot,
                             (utk - const).astype(dtype))
+    if return_item_tower:
+        # the positives' tower reuses this (models/baseline.forward):
+        # pos[idx] == seq[idx+1] with identical features by construction
+        return it + ut, it
     return it + ut

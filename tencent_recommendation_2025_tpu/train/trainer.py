@@ -256,8 +256,11 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
         plans["pos"] = build_lookup_plan(uids, out["pos"])
         plans["negs"] = build_lookup_plan(uids, out["sampled_neg_ids"])
     else:
-        plans["posneg"] = build_lookup_plan(
-            uids, np.concatenate([out["pos"], out["neg"]], axis=0))
+        # BCE forward: negatives tower + the final-target column (the rest
+        # of the positives reuse the seq item tower — baseline.forward)
+        plans["posneg"] = build_lookup_plan(uids, out["neg"])
+        plans["pos_last"] = build_lookup_plan(
+            uids, np.asarray(out["pos"])[:, -1:])
     out["sparse_plans"] = plans
     return out
 

@@ -275,3 +275,35 @@ def test_user_token_cap_guard():
         + [[0, 5, None, {"100": 2}, 1, 0]]
     with pytest.raises(ValueError, match="MAX_USER_TOKENS_PER_ROW"):
         _build_ext_sequence(recs, test_mode=False, itemnum=10)
+
+
+def test_pos_tower_reuse_matches_direct(small_setup):
+    """forward()'s positives tower (seq item tower shifted by one + final
+    column) == running the item tower directly on batch['pos'] at every
+    loss-masked position."""
+    import jax
+    import jax.numpy as jnp
+
+    from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+    from tencent_recommendation_2025_tpu.data.pipeline import collate_train
+    from tencent_recommendation_2025_tpu.train.trainer import device_tables
+
+    model = small_setup["model"]
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=model.cfg.maxlen)
+    rng = np.random.default_rng(11)
+    batch = collate_train([sampler.sample(i, rng) for i in range(8)], 8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0))
+    tables = device_tables(small_setup["tables"])
+
+    _, pos_embs, _ = model.forward(params, batch, tables["mm"], tables,
+                                   train=False)
+    direct = model.item_embeddings(params, batch["pos"],
+                                   batch["pos_item_sparse"],
+                                   batch["pos_item_array"], tables["mm"])
+    mask = np.asarray(batch["next_token_type"] == 1)
+    got = np.asarray(pos_embs, np.float32)[mask]
+    want = np.asarray(direct, np.float32)[mask]
+    assert mask.sum() > 50
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-5)
