@@ -133,12 +133,18 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
     if cfg.train.loss_type == "sampled_softmax":
         rng, neg_rng = jax.random.split(rng) if rng is not None \
             else (None, jax.random.key(0))
-        log_feats = model.log2feats(params, batch, mm_tables, train=train,
-                                    rng=rng, mesh=mesh, pp_microbatches=ppm)
-        pos_embs = model.item_embeddings(params, batch["pos"],
-                                         batch["pos_item_sparse"],
-                                         batch["pos_item_array"], mm_tables,
-                                         lookup_site="pos", mesh=mesh)
+        # positives reuse the seq item tower shifted by one (same trick as
+        # baseline.forward: pos[idx] == seq[idx+1] with identical features;
+        # only the final target column runs its own tower)
+        log_feats, it_seq = model.log2feats(
+            params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
+            pp_microbatches=ppm, return_item_tower=True)
+        pos_last = model.item_embeddings(
+            params, batch["pos"][:, -1:], batch["pos_item_sparse"][:, -1:],
+            batch["pos_item_array"][:, -1:], mm_tables,
+            lookup_site="pos_last", mesh=mesh)
+        pos_embs = jnp.concatenate(
+            [it_seq[:, 1:].astype(pos_last.dtype), pos_last], axis=1)
         n = cfg.train.num_sampled_negatives
         # the sparse-table step pre-samples negatives (their ids must join
         # the touched-row dedup before the loss runs)
@@ -253,7 +259,8 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
     plans = {"seq": build_lookup_plan(
         uids, np.where(out["token_type"] == 1, out["seq"], 0))}
     if cfg.train.loss_type == "sampled_softmax":
-        plans["pos"] = build_lookup_plan(uids, out["pos"])
+        plans["pos_last"] = build_lookup_plan(
+            uids, np.asarray(out["pos"])[:, -1:])
         plans["negs"] = build_lookup_plan(uids, out["sampled_neg_ids"])
     else:
         # BCE forward: negatives tower + the final-target column (the rest
