@@ -95,10 +95,17 @@ def analytic_step_flops(cfg: Config, model: SeqRecModel) -> float:
     blocks = mc.num_blocks * (proj + ffn + attn)
     userdim, itemdim = tower_dims(mc, model.schema)
     mm = sum(model.schema.item_emb_dims[f] for f in model.schema.mm_emb_ids)
-    item_tower = 2 * M * (itemdim + mm) * D
-    neg_tokens = tc.num_sampled_negatives if tc.loss_type == "sampled_softmax" else M
-    towers = item_tower * 2 + 2 * neg_tokens * (itemdim + mm) * D \
-        + 2 * M * userdim * D
+    # towers after the round-3 rewrites: ONE seq item tower (positives reuse
+    # it shifted by one; only the last column runs its own), negatives per
+    # loss type, and the user tower on MAX_USER_TOKENS_PER_ROW gathered
+    # positions per row instead of every [B, L] slot
+    from ..config import MAX_USER_TOKENS_PER_ROW as K
+
+    item_tok = M + B  # seq tower + the final-target column
+    item_tok += tc.num_sampled_negatives \
+        if tc.loss_type == "sampled_softmax" else M
+    towers = 2 * item_tok * (itemdim + mm) * D \
+        + 2 * B * (K + 1) * userdim * D
     return 3.0 * (blocks + towers)                   # bwd ≈ 2x fwd
 
 
