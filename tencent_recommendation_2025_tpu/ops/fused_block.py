@@ -448,6 +448,10 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
         return False
     if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
         return False
+    # L=2048 probed on v5e (2026-08-19): Mosaic compile fails reproducibly
+    # (the whole-seq residents — uvqk [L, 4D], x13 [L, 2F], stripes —
+    # overflow VMEM); longer sequences run the chunked attention kernel +
+    # XLA elementwise instead
     if not (256 <= L <= MAX_WHOLESEQ_L and L % FB_BLK == 0):
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
