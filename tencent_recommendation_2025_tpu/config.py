@@ -49,8 +49,8 @@ class ModelConfig:
     table_dtype: str = "float32"
     # store >=30M-row tables PACKED [V/R, 8, 128] (tile-compact layout; any
     # XLA op on a huge [V, 64] table stages a lane-padded 2x copy of the
-    # whole thing). cli.train turns this off when a mesh shards the table
-    # instead (per-shard slices stay [rows, D])
+    # whole thing). Under a mesh the GROUP dim shards so per-device slices
+    # keep the compact layout (ops/sparse_table.sharded_gather_rows)
     pack_big_tables: bool = True
     use_flash_attention: bool = True  # Pallas fused attention kernel when shapes allow
     # fully-fused whole-block kernel (ops/fused_block.py): LNs + projections
@@ -138,7 +138,7 @@ class RetrievalConfig:
     hnsw_ef_construction: int = 1280
     hnsw_ef_search: int = 640
     metric_type: int = 0             # 0 = inner product
-    method: str = "exact"            # "exact" (on-device MIPS) | "hnsw" (C++ tool)
+    method: str = "exact"            # "exact" | "approx" (HW approx_max_k) | "hnsw" (C++ tool)
 
 
 @dataclasses.dataclass(frozen=True)

