@@ -136,7 +136,8 @@ def shard_corpus(mesh, corpus: jnp.ndarray) -> jnp.ndarray:
 
 def sharded_topk_mips(mesh, queries: jnp.ndarray, corpus: jnp.ndarray,
                       k: int = 10, block_n: int = 65536,
-                      n_valid: Optional[int] = None
+                      n_valid: Optional[int] = None,
+                      approx: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed exact top-k: the corpus row-shards over EVERY mesh axis
     (flattened), each device runs the blocked local top-k over its shard,
@@ -159,11 +160,13 @@ def sharded_topk_mips(mesh, queries: jnp.ndarray, corpus: jnp.ndarray,
         corpus = jnp.pad(corpus,
                          ((0, rows * n_shards - corpus.shape[0]), (0, 0)))
     corpus = jax.device_put(corpus, NamedSharding(mesh, P(axes, None)))
-    return _sharded_topk_fn(mesh, k, block_n, rows, N)(queries, corpus)
+    return _sharded_topk_fn(mesh, k, block_n, rows, N, approx)(queries,
+                                                               corpus)
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int):
+def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int,
+                     approx: bool = False):
     """Cached jitted shard_map body (one compile per mesh/shape combo, not
     per call — retrieve_topk calls this per query batch). Keying on the Mesh
     is safe for long-lived serving: jax.sharding.Mesh hashes by device layout
@@ -178,8 +181,16 @@ def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int):
         shard = jnp.int32(0)
         for a in axes:
             shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
-        s, gi = _topk_blocked(q, c, k, block_n, base=shard * rows,
-                              n_valid=N)
+        if approx:
+            # per-shard hardware approx_max_k; the cross-shard k-winner
+            # merge below stays exact
+            s, li = topk_mips_approx(q, c, k=k, block_n=block_n)
+            gi = jnp.where(li + shard * rows < N, li + shard * rows, 0)
+            s = jnp.where(li + shard * rows < N, s,
+                          jnp.finfo(jnp.float32).min)
+        else:
+            s, gi = _topk_blocked(q, c, k, block_n, base=shard * rows,
+                                  n_valid=N)
         # one all-gather of the k winners per shard, merged everywhere
         all_s = jax.lax.all_gather(s, axes)        # [n_shards, Q, k]
         all_i = jax.lax.all_gather(gi, axes)
@@ -220,7 +231,8 @@ def retrieve_topk(query_embs: np.ndarray, corpus_embs: np.ndarray,
         q = jnp.asarray(query_embs[s:s + query_batch], jnp.float32)
         if mesh is not None:
             _, idx = sharded_topk_mips(mesh, q, corpus, k=k,
-                                       n_valid=len(corpus_embs))
+                                       n_valid=len(corpus_embs),
+                                       approx=approx)
         elif approx:
             _, idx = topk_mips_approx(q, corpus, k=k)
         else:

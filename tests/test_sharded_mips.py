@@ -84,3 +84,22 @@ def test_topk_mips_approx_matches_exact_on_cpu():
     as_, ai = topk_mips_approx(q, c, k=10, block_n=1024)
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
     np.testing.assert_allclose(np.asarray(es), np.asarray(as_), rtol=1e-6)
+
+
+def test_sharded_topk_mips_approx_matches_exact():
+    """approx=True through the sharded path (per-shard approx_max_k, exact
+    cross-shard merge) == the exact sharded result on CPU (where
+    approx_max_k lowers exactly), including the padded-tail masking."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        sharded_topk_mips)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    c = rng.standard_normal((1003, 16)).astype(np.float32)  # uneven shards
+    es, ei = sharded_topk_mips(mesh, q, c, k=10)
+    as_, ai = sharded_topk_mips(mesh, q, c, k=10, approx=True)
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
