@@ -149,17 +149,35 @@ def infer(argv=None):
                 m[i] = v
         mm_vecs[fid] = m
 
-    encode = jax.jit(lambda p, i, s, a, m: model.encode_items(p, i, s, a, m))
-    embs = []
+    # ONE scanned jit over fixed-size batches: a python loop of per-batch
+    # dispatches pays the dispatch/tunnel latency per batch (~200 round
+    # trips at a 200K corpus); the scan keeps the whole encode on device
+    # (same pattern as benchmarks/serving_bench.py — 5.8M items/s there)
     bs = 1024
-    for s0 in range(0, n, bs):
-        sl = slice(s0, min(s0 + bs, n))
-        embs.append(np.asarray(encode(
-            params, jnp.asarray(ids[sl]), jnp.asarray(sp[sl]),
-            jnp.asarray(ar[sl]),
-            {k: jnp.asarray(v[sl]) for k, v in mm_vecs.items()}),
-            np.float32))
-    corpus = np.concatenate(embs, axis=0)
+    pad = (-n) % bs
+    nb = (n + pad) // bs
+
+    def padb(x):
+        return np.concatenate(
+            [x, np.zeros((pad, *x.shape[1:]), x.dtype)]) if pad else x
+
+    ids_b = jnp.asarray(padb(ids).reshape(nb, bs))
+    sp_b = jnp.asarray(padb(sp).reshape(nb, bs, *sp.shape[1:]))
+    ar_b = jnp.asarray(padb(ar).reshape(nb, bs, *ar.shape[1:]))
+    mm_b = {k: jnp.asarray(padb(v).reshape(nb, bs, *v.shape[1:]))
+            for k, v in mm_vecs.items()}
+
+    @jax.jit
+    def encode_all(p, ids_b, sp_b, ar_b, mm_b):
+        def body(_, xs):
+            i, s, a, m = xs
+            return None, model.encode_items(p, i, s, a, m)
+
+        _, embs = jax.lax.scan(body, None, (ids_b, sp_b, ar_b, mm_b))
+        return embs.reshape(nb * bs, -1)
+
+    corpus = np.asarray(encode_all(params, ids_b, sp_b, ar_b, mm_b),
+                        np.float32)[:n]
 
     formats.save_emb(corpus, result_dir / "embedding.fbin")
     formats.save_emb(np.asarray(retrieval_ids, np.uint64).reshape(-1, 1),
