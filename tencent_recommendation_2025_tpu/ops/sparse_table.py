@@ -104,7 +104,7 @@ class GatheredRows:
     detects this type and resolves ids against the gathered prefix — every
     model call site works unchanged, and autodiff produces a [K, D] gradient.
 
-    ``plans`` maps a lookup-site name ("seq"/"posneg"/"pos"/"negs") to a
+    ``plans`` maps a lookup-site name ("seq"/"posneg"/"pos_last"/"negs") to a
     host-precomputed plan (build_lookup_plan): resolved positions plus a
     scatter-free backward schedule. Sites without a plan fall back to
     on-device searchsorted + scatter-add backward (fine on CPU, slow on TPU).
