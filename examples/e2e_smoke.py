@@ -1,5 +1,6 @@
 """End-to-end smoke: synthetic data -> train -> retrieve -> eval (CPU, ~1 min)."""
-import json, os, tempfile, time
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
