@@ -94,6 +94,12 @@ class TrainConfig:
     seed: int = 42
     loss_type: str = "bce"           # "bce" (parity) | "sampled_softmax" (north star)
     num_sampled_negatives: int = 128  # sampled-softmax uniform negatives
+    # in-batch negatives for sampled softmax (F9's other half): batch
+    # positives double as shared negatives with empirical-frequency logQ
+    # correction (ops/losses.inbatch_candidates); their embeddings reuse the
+    # positives' tower outputs, so the marginal cost is one [B*L, N] matmul.
+    # 0 = shared-uniform only.
+    num_inbatch_negatives: int = 0
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10
     grad_log_every: int = 100
@@ -215,7 +221,8 @@ def sampled_softmax_dp() -> Config:
     """BASELINE.json configs[3]: MM side features + sampled softmax, 1-host DP."""
     return Config(
         model=ModelConfig(block_type="hstu", ffn_type="swiglu", reference_init=False),
-        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0, weight_decay=0.01),
+        train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0,
+                          weight_decay=0.01, num_inbatch_negatives=64),
         mesh=MeshConfig(data=8),
     )
 

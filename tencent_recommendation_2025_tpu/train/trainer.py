@@ -138,8 +138,8 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                  mesh=None) -> Tuple[jnp.ndarray, Dict]:
     ppm = cfg.mesh.pp_microbatches
     if cfg.train.loss_type == "sampled_softmax":
-        rng, neg_rng = jax.random.split(rng) if rng is not None \
-            else (None, jax.random.key(0))
+        rng, neg_rng, inb_rng = jax.random.split(rng, 3) if rng is not None \
+            else (None, jax.random.key(0), jax.random.key(1))
         # positives reuse the seq item tower shifted by one (same trick as
         # baseline.forward: pos[idx] == seq[idx+1] with identical features;
         # only the final target column runs its own tower)
@@ -166,8 +166,24 @@ def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         loss_mask = batch["next_token_type"] == 1
         if "sample_valid" in batch:
             loss_mask &= batch["sample_valid"][:, None] > 0
+        neg_logq = None
+        if cfg.train.num_inbatch_negatives > 0:
+            # in-batch half of F9 (SURVEY §2.2): batch positives double as
+            # shared negatives with empirical-frequency logQ; embeddings
+            # reuse the positives' tower outputs — zero extra tower cost
+            inb_ids, inb_embs, inb_logq = L.inbatch_candidates(
+                batch["pos"], pos_embs, loss_mask,
+                cfg.train.num_inbatch_negatives, inb_rng)
+            uni_logq = jnp.full((neg_ids.shape[0],),
+                                -jnp.log(jnp.float32(model.itemnum)),
+                                jnp.float32)
+            neg_ids = jnp.concatenate([neg_ids, inb_ids])
+            neg_embs = jnp.concatenate(
+                [neg_embs, inb_embs.astype(neg_embs.dtype)])
+            neg_logq = jnp.concatenate([uni_logq, inb_logq])
         loss = L.sampled_softmax_loss(log_feats, pos_embs, neg_embs, neg_ids,
-                                      batch["pos"], loss_mask, model.itemnum)
+                                      batch["pos"], loss_mask, model.itemnum,
+                                      neg_logq=neg_logq)
         return loss, {"loss": loss}
     pos_logits, neg_logits, loss_mask = model.logits(
         params, batch, mm_tables, item_tables, train=train, rng=rng,

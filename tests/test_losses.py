@@ -76,3 +76,63 @@ def test_sampled_softmax_grad_flows():
     g = jax.grad(f)(q)
     assert float(jnp.abs(g).max()) > 0
     assert not np.any(np.isnan(np.asarray(g)))
+
+
+def test_inbatch_candidates_logq_oracle():
+    """In-batch selection: ids/embs come from the batch's positives at the
+    sampled positions; logQ is the empirical batch frequency; invalid
+    positions become id-0 padding slots."""
+    rng = np.random.default_rng(3)
+    B, Lq, D, N = 3, 4, 8, 16
+    pos_ids = np.asarray(rng.integers(1, 6, (B, Lq)), np.int32)
+    pos_embs = rng.standard_normal((B, Lq, D)).astype(np.float32)
+    mask = rng.random((B, Lq)) < 0.7
+    mask[0, 0] = True   # ensure at least one valid
+    key = jax.random.key(0)
+
+    ids, embs, logq = L.inbatch_candidates(
+        jnp.asarray(pos_ids), jnp.asarray(pos_embs), jnp.asarray(mask),
+        N, key)
+    ids, embs, logq = map(np.asarray, (ids, embs, logq))
+
+    flat_ids = pos_ids.reshape(-1)
+    flat_mask = mask.reshape(-1)
+    flat_embs = pos_embs.reshape(-1, D)
+    n_valid = flat_mask.sum()
+    for j in range(N):
+        if ids[j] == 0:
+            continue  # invalid-position slot (masked in the loss)
+        # the id must exist among valid positives, emb must be its tower out
+        rows = np.where((flat_ids == ids[j]) & flat_mask)[0]
+        assert rows.size > 0
+        assert any(np.allclose(embs[j], flat_embs[r]) for r in rows)
+        want_logq = np.log(rows.size) - np.log(n_valid)
+        np.testing.assert_allclose(logq[j], want_logq, rtol=1e-5)
+
+
+def test_sampled_softmax_mixed_logq_and_padding_slots():
+    """Mixed uniform + in-batch candidate set: per-candidate logq vector is
+    honored and id<=0 slots drop out of the softmax entirely."""
+    rng = np.random.default_rng(4)
+    B, Lq, D, N = 2, 3, 8, 5
+    q = rng.standard_normal((B, Lq, D)).astype(np.float32)
+    pe = rng.standard_normal((B, Lq, D)).astype(np.float32)
+    ne = rng.standard_normal((N, D)).astype(np.float32)
+    neg_ids = np.asarray([3, 0, 9, 7, 11], np.int32)   # slot 1 is padding
+    logq = np.asarray([-2.0, -1.0, -3.0, -0.5, -4.0], np.float32)
+    pos_ids = np.full((B, Lq), 7, np.int32)            # slot 3 collides
+    mask = np.ones((B, Lq), bool)
+
+    got = float(L.sampled_softmax_loss(
+        jnp.asarray(q), jnp.asarray(pe), jnp.asarray(ne),
+        jnp.asarray(neg_ids), jnp.asarray(pos_ids), jnp.asarray(mask),
+        100, neg_logq=jnp.asarray(logq)))
+
+    pos_logit = (q * pe).sum(-1)
+    neg_logit = q @ ne.T - logq[None, None, :]
+    neg_logit[:, :, [1, 3]] = np.finfo(np.float32).min
+    logits = np.concatenate([pos_logit[..., None], neg_logit], -1)
+    m = logits.max(-1, keepdims=True)
+    lse = m[..., 0] + np.log(np.exp(logits - m).sum(-1))
+    nll = (lse - pos_logit).mean()
+    np.testing.assert_allclose(got, nll, rtol=1e-5)
