@@ -106,8 +106,9 @@ class TrainConfig:
     # Sparse-table training (ops/sparse_table.py): tables listed here are
     # trained via dedup'd row gather + row-sparse updates — per-step optimizer
     # cost O(touched rows) instead of O(table). Required for the 100M-row
-    # north star; the reference trains its nn.Embedding densely
-    # (model.py:115-117). Currently supports "item_emb".
+    # north star; the reference trains BOTH its tables densely
+    # (model.py:115-117). Supports "item_emb" and "user_emb" (user_emb
+    # rides the unpacked gather path — it stays [U+1, D] at init).
     sparse_tables: Tuple[str, ...] = ()
     # "rowwise_adagrad" (production: 4 bytes/row of state, 231 ms/step at
     # 10M rows on v5e) | "lazy_adam" (SparseAdam semantics, exactly matches

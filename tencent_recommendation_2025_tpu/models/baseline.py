@@ -57,7 +57,13 @@ class SeqRecModel:
         forward; the a2a moves 1.06 MB each way and 8x less backward.
         Applies when the table is a plain array (sparse training gathers
         rows host-planned instead) on a data-only mesh; other meshes keep
-        XLA SPMD (the a2a exchanges over ``data`` alone)."""
+        XLA SPMD (the a2a exchanges over ``data`` alone).
+
+        Ids that overflow a shard's static bucket (capacity_factor 2.0)
+        come back as ZERO embeddings and drop their table gradient, so the
+        global overflow count accumulates on ``self._ep_overflow`` within
+        the current trace — trainer.compute_loss surfaces it as the
+        ``ep_overflow`` step metric (log/alert on > 0)."""
         from ..ops.sparse_table import GatheredRows, is_packed
 
         tbl = params["item_emb"]
@@ -68,7 +74,12 @@ class SeqRecModel:
             return None
         from ..parallel.sharded_embedding import sharded_lookup_a2a
 
-        emb = sharded_lookup_a2a(mesh, tbl, ids)
+        emb, ovf = sharded_lookup_a2a(mesh, tbl, ids, return_overflow=True)
+        prev = getattr(self, "_ep_overflow", None)
+        # trace-local accumulator (frozen dataclass -> object.__setattr__);
+        # compute_loss resets it before the forward and reads it after
+        object.__setattr__(self, "_ep_overflow",
+                           ovf if prev is None else prev + ovf)
         return emb.astype(jnp.dtype(self.cfg.dtype))
 
     def item_embeddings(self, params: Mapping, ids: jnp.ndarray,

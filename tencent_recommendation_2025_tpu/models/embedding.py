@@ -428,9 +428,11 @@ def item_tower(params: Mapping, ids: jnp.ndarray,
 
 def user_tower(params: Mapping, ids: jnp.ndarray,
                user_sparse: jnp.ndarray, user_array: jnp.ndarray,
-               fused: FusedVocab, cfg: ModelConfig) -> jnp.ndarray:
+               fused: FusedVocab, cfg: ModelConfig,
+               lookup_site: Optional[str] = None) -> jnp.ndarray:
     dtype = jnp.dtype(cfg.dtype)
-    feats = [masked_take(params["user_emb"], ids, dtype=dtype)]
+    feats = [masked_take(params["user_emb"], ids, dtype=dtype,
+                         site=lookup_site, dim=cfg.hidden_units)]
     if fused.n_user_sparse:
         off = jnp.asarray([fused.offsets[fused.slot(f)]
                            for f in S.USER_SPARSE_IDS], jnp.int32)
@@ -503,7 +505,8 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
     uk = user_ids[rows, posk] * vk
     spk = batch["seq_user_sparse"][rows, posk] * vk[..., None]
     ark = batch["seq_user_array"][rows, posk] * vk[..., None, None]
-    utk = user_tower(params, uk, spk, ark, fused, cfg)     # [B, K, D]
+    utk = user_tower(params, uk, spk, ark, fused, cfg,
+                     lookup_site="user")                   # [B, K, D]
     zshape = lambda t: jnp.zeros((1, 1) + t.shape[2:], t.dtype)  # noqa: E731
     const = user_tower(params, zshape(uk), zshape(spk), zshape(ark),
                        fused, cfg)                         # [1, 1, D]

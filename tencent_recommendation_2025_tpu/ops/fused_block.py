@@ -47,21 +47,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hstu_attention import (BLK, _bias_tiles, _bias_tiles_transpose,
-                             _dsilu, _stripe_bias)
+from .hstu_attention import (BLK, MASK_NEG, _bias_tiles,
+                             _bias_tiles_transpose, _dsilu, _stripe_bias)
 
 # stripe q-block width. 128 measured best on v5e: 256 halves the stripe
 # count but one flagship block fwd+bwd measured 3.99 ms vs 3.26 ms at 128
 # (2026-08-18) — the [256, L] f32 stripe intermediates pressure the vector
 # registers, the same failure mode as the chunked kernel's 512 block
 FB_BLK = BLK
-
-
-def _diag_causal(n_kb, blk):
-    import jax as _jax
-    iq = _jax.lax.broadcasted_iota(jnp.int32, (blk, n_kb * blk), 0)
-    ik = _jax.lax.broadcasted_iota(jnp.int32, (blk, n_kb * blk), 1)
-    return (iq + (n_kb - 1) * blk) >= ik
 
 _EPS = 1e-8  # models/embedding.layernorm default
 
@@ -97,35 +90,43 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _attn_fwd_stripes(q16, k16, v16, kv_ok, tiles_ref, av_acc, *,
-                      seq_len, n_tiles, num_heads, n_blocks):
-    """The whole-seq stripe loop from ops/hstu_attention._fwd_kernel, writing
-    the f32 attention output into the av_acc VMEM scratch."""
-    f32 = jnp.float32
+def _attn_fwd_stripes(q16, k16, v16, kv_neg, tiles_ref, av_acc, *,
+                      n_tiles, num_heads, n_blocks):
+    """The whole-seq stripe loop, writing the attention output into the
+    av_acc VMEM scratch.
+
+    Masking is ADDITIVE (round-4 rewrite): the causal upper triangle rides
+    the slot-0 bias tile (``_bias_tiles(causal_diag=True)``) and key padding
+    is ``kv_neg`` ([1, L] f32, 0 valid / MASK_NEG padded) broadcast-added to
+    every stripe — silu/dsilu of -1e4 are exactly 0, so the old per-stripe
+    iota/compare/and/cast/mul mask passes vanish. The 1/seq_len factor is
+    pre-folded into ``v16`` by the caller."""
     D = q16.shape[-1]
     hd = D // num_heads
     blk = tiles_ref.shape[-1]
     for qb in range(n_blocks):
         ks = (qb + 1) * blk
         qsl = slice(qb * blk, (qb + 1) * blk)
-        m = jnp.logical_and(_diag_causal(qb + 1, blk),
-                            kv_ok[:, :ks]).astype(f32) / seq_len
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             s = _dot(q16[qsl, sl], k16[:ks, sl], ((1,), (1,)))
-            s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-            a = (jax.nn.silu(s) * m).astype(q16.dtype)
+            s = s + (_stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
+                     + kv_neg[:, :ks])
+            a = jax.nn.silu(s).astype(q16.dtype)
             av_acc[qsl, sl] = _dot(a, v16[:ks, sl], ((1,), (0,)))
 
 
-def _attn_bwd_stripes(q16, k16, v16, dav, kv_ok, tiles_ref, dtiles_ref,
-                      dk_acc, dv_acc, *, seq_len, n_tiles, num_heads,
+def _attn_bwd_stripes(q16, k16, v16, dav, kv_neg, tiles_ref, dtiles_ref,
+                      dk_acc, dv_acc, *, n_tiles, num_heads,
                       n_blocks, scale):
-    """Stripe backward (ops/hstu_attention._bwd_kernel): returns dq (f32,
-    includes *scale, i.e. the gradient w.r.t. the UNSCALED q projection);
-    dk/dv accumulate into VMEM scratch; bias-tile grads accumulate into the
-    revisited dtiles output ref."""
-    f32 = jnp.float32
+    """Stripe backward: returns dq (f32, includes *scale, i.e. the gradient
+    w.r.t. the UNSCALED q projection); dk/dv accumulate into VMEM scratch;
+    bias-tile grads accumulate into the revisited dtiles output ref.
+
+    Same additive-mask scheme as the forward: ds is exactly zero at masked
+    positions (dsilu(-1e4) == 0), so dk/dtiles need no mask factor; v16 is
+    pre-scaled by 1/seq_len, making the returned dv the gradient w.r.t. the
+    SCALED v (caller multiplies by 1/seq_len once)."""
     cdt = q16.dtype
     D = q16.shape[-1]
     hd = D // num_heads
@@ -136,18 +137,17 @@ def _attn_bwd_stripes(q16, k16, v16, dav, kv_ok, tiles_ref, dtiles_ref,
     for qb in range(n_blocks):
         ks = (qb + 1) * blk
         qsl = slice(qb * blk, (qb + 1) * blk)
-        m = jnp.logical_and(_diag_causal(qb + 1, blk),
-                            kv_ok[:, :ks]).astype(f32) / seq_len
         dqs = []
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             do_b = dav[qsl, sl].astype(cdt)
             s = _dot(q16[qsl, sl], k16[:ks, sl], ((1,), (1,)))
-            s = s + _stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-            a = (jax.nn.silu(s) * m).astype(cdt)
+            s = s + (_stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
+                     + kv_neg[:, :ks])
+            a = jax.nn.silu(s).astype(cdt)
             dv_acc[:ks, sl] += _dot(a, do_b, ((0,), (0,)))
             da = _dot(do_b, v16[:ks, sl], ((1,), (1,)))
-            ds = da * _dsilu(s) * m
+            ds = da * _dsilu(s)
             ds_c = ds.astype(cdt)
             dqs.append(_dot(ds_c, k16[:ks, sl], ((1,), (0,))))
             dk_acc[:ks, sl] += _dot(ds_c, q16[qsl, sl], ((0,), (0,)))
@@ -172,7 +172,7 @@ def _fwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
     cdt = x16.dtype
     xf = x16.astype(f32)
     D = xf.shape[-1]
-    kv_ok = (valid_ref[0] != 0)                       # [1, L]
+    kv_neg = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)  # [1, L] f32
     drop = train and rate > 0.0                       # python-static
 
     # --- attention half ---
@@ -181,11 +181,11 @@ def _fwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
         + buvqk_ref[0:1, :]
     uvqk = jax.nn.silu(uvqk)                          # [L, 4D] f32
     u = uvqk[:, :D]
-    v16 = uvqk[:, D:2 * D].astype(cdt)
+    v16 = (uvqk[:, D:2 * D] * (1.0 / seq_len)).astype(cdt)
     q16 = (uvqk[:, 2 * D:3 * D] * scale).astype(cdt)
     k16 = uvqk[:, 3 * D:].astype(cdt)
-    _attn_fwd_stripes(q16, k16, v16, kv_ok, tiles_ref, av_acc,
-                      seq_len=seq_len, n_tiles=n_tiles,
+    _attn_fwd_stripes(q16, k16, v16, kv_neg, tiles_ref, av_acc,
+                      n_tiles=n_tiles,
                       num_heads=num_heads, n_blocks=n_blocks)
     av = av_acc[...]                                  # [L, D] f32
     av_ref[0] = av.astype(cdt)                        # residual for backward
@@ -225,7 +225,7 @@ def _bwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
     cdt = x16.dtype
     xf = x16.astype(f32)
     D = xf.shape[-1]
-    kv_ok = (valid_ref[0] != 0)
+    kv_neg = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)  # [1, L] f32
     dout = dout_ref[0].astype(f32)
     drop = train and rate > 0.0
 
@@ -246,7 +246,7 @@ def _bwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
     uvqk_pre = _dot(h1_16, wuvqk_ref[...], ((1,), (0,))) + buvqk_ref[0:1, :]
     uvqk = jax.nn.silu(uvqk_pre)
     u = uvqk[:, :D]
-    v16 = uvqk[:, D:2 * D].astype(cdt)
+    v16 = (uvqk[:, D:2 * D] * (1.0 / seq_len)).astype(cdt)
     q16 = (uvqk[:, 2 * D:3 * D] * scale).astype(cdt)
     k16 = uvqk[:, 3 * D:].astype(cdt)
     av = av_ref[0].astype(f32)
@@ -302,12 +302,14 @@ def _bwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
     dln_ref[2:3, :] += dg_r
     dln_ref[3:4, :] += db_r
 
-    dq = _attn_bwd_stripes(q16, k16, v16, dav, kv_ok, tiles_ref, dtiles_ref,
-                           dk_acc, dv_acc, seq_len=seq_len, n_tiles=n_tiles,
+    dq = _attn_bwd_stripes(q16, k16, v16, dav, kv_neg, tiles_ref, dtiles_ref,
+                           dk_acc, dv_acc, n_tiles=n_tiles,
                            num_heads=num_heads, n_blocks=n_blocks,
                            scale=scale)
+    # dv_acc holds the gradient w.r.t. the 1/seq_len-scaled v
     duvqk = jnp.concatenate(
-        [du, dv_acc[...], dq, dk_acc[...]], axis=-1) * _dsilu(uvqk_pre)
+        [du, dv_acc[...] * (1.0 / seq_len), dq, dk_acc[...]],
+        axis=-1) * _dsilu(uvqk_pre)
     duvqk16 = duvqk.astype(cdt)
     dwuvqk_ref[...] += _dot(h1_16, duvqk16, ((0,), (0,)))
     dbuvqk_ref[0:1, :] += jnp.sum(duvqk, axis=0, keepdims=True)
@@ -361,7 +363,7 @@ def _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
                     seed1, num_heads, rate, train, interpret):
     B, L, D = x.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, FB_BLK)
+    tiles = _bias_tiles(rab, FB_BLK, causal_diag=True)
     H, nt = tiles.shape[0], tiles.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
@@ -395,7 +397,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
     x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2, seed1, av = res
     B, L, D = x.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, FB_BLK)
+    tiles = _bias_tiles(rab, FB_BLK, causal_diag=True)
     H, nt = tiles.shape[0], tiles.shape[1]
     in_specs = _specs(L, D, F, H, nt) + [
         _batch((1, L, D)),                                       # av

@@ -63,12 +63,23 @@ def _n_near(buckets: int, blk: int = BLK) -> int:
     return needed
 
 
-def _bias_tiles(rab: jnp.ndarray, blk: int = BLK) -> jnp.ndarray:
+MASK_NEG = -1e4  # additive logit mask: silu(-1e4) == dsilu(-1e4) == 0 in f32
+
+
+def _bias_tiles(rab: jnp.ndarray, blk: int = BLK,
+                causal_diag: bool = False) -> jnp.ndarray:
     """rab [H, buckets] -> tiles [H, n_near+1, blk, blk].
 
     Slot s < n_near: Toeplitz tile for block-diagonal offset s; the last slot
     is the constant far tile (all distances clipped to buckets-1).
     Differentiable XLA precompute; tiny (3 tiles for buckets=128).
+
+    ``causal_diag``: fold the causal mask into the slot-0 (diagonal) tile as
+    an additive ``MASK_NEG`` on the strict upper triangle — silu/dsilu of a
+    ``-1e4`` logit are exactly zero in f32, so kernels using these tiles need
+    NO per-stripe multiplicative mask (off-diagonal blocks of a causal stripe
+    are fully visible by construction). The constant offset doesn't touch the
+    rab gradient path.
     """
     H, buckets = rab.shape
     nn = _n_near(buckets, blk)
@@ -81,6 +92,8 @@ def _bias_tiles(rab: jnp.ndarray, blk: int = BLK) -> jnp.ndarray:
     far = jnp.broadcast_to(rab[:, buckets - 1][:, None, None],
                            (H, blk, blk))
     tiles.append(far)
+    if causal_diag:
+        tiles[0] = tiles[0] + jnp.where(iq >= ik, 0.0, MASK_NEG)
     return jnp.stack(tiles, axis=1)
 
 

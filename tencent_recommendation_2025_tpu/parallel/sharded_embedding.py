@@ -118,16 +118,23 @@ def dense_lookup_oracle(table: jnp.ndarray, ids: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
-                       capacity_factor: float = 2.0,
+                       capacity_factor: float = 4.0,
                        mask_zero: bool = True,
                        return_overflow: bool = False):
     """All-to-all id-exchange lookup over the ``data`` axis (model must be 1).
 
     Each data-rank sorts its ids into per-owner buckets of static capacity
     ``ceil(n_local / n_shards * capacity_factor)`` (overflow ids fall back to
-    zero vectors — caller picks capacity; default 2x average is ample for
-    uniform-ish traffic), all-to-alls the buckets, gathers locally, and
-    all-to-alls the embeddings back.
+    zero vectors — caller picks capacity), all-to-alls the buckets, gathers
+    locally, and all-to-alls the embeddings back.
+
+    Capacity pressure comes from REPEATED ids (each occurrence takes a
+    bucket slot; ownership is contiguous-range, so a hot item concentrates
+    on one shard) — padding ids are excluded from bucketing entirely under
+    ``mask_zero``. The default factor 4 tolerates up to half of a rank's
+    real ids landing on one owner; the exchanged payload stays ~100x under
+    XLA default SPMD's full-table-gradient all-reduce (benchmarks/ep_ab.py),
+    and overflow is observable (``ep_overflow`` metric, alert on > 0).
 
     With ``return_overflow`` the call also returns the GLOBAL count of ids
     that overflowed their bucket (and therefore returned zero vectors) — a
@@ -150,13 +157,21 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         # output for id 0 is masked regardless of which shard served it
         owner = jnp.clip(flat // rows_per_shard, 0, n_data - 1)
         owner = jnp.where(flat == 0, di, owner)
+        real = flat != 0
 
-        # stable bucket-position of each id within its owner group
+        # stable bucket-position of each id within its owner group; with
+        # mask_zero, padding ids skip bucketing entirely (their output is
+        # masked to zero regardless) so they neither consume capacity nor
+        # count as overflow — recsys batches are MOSTLY padding lanes
         onehot = jax.nn.one_hot(owner, n_data, dtype=jnp.int32)  # [n, S]
+        if mask_zero:
+            onehot = onehot * real[:, None].astype(jnp.int32)
         pos_in_owner = jnp.cumsum(onehot, axis=0) - 1             # [n, S]
         my_pos = jnp.take_along_axis(pos_in_owner, owner[:, None],
                                      axis=1)[:, 0]                 # [n]
         ok = my_pos < cap
+        if mask_zero:
+            ok = jnp.logical_and(ok, real)
 
         # scatter ids into [S, cap] send buckets; overflow ids go to the
         # out-of-range column `cap` so mode="drop" actually discards them
@@ -180,7 +195,9 @@ def sharded_lookup_a2a(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         # un-bucket: each id reads its row from [owner, my_pos]
         got = back[owner, jnp.where(ok, my_pos, 0)]
         got = jnp.where(ok[:, None], got, 0.0)
-        n_over = jax.lax.psum(jnp.sum(~ok), "data")
+        # overflow = REAL ids that didn't fit their bucket (zero embeddings,
+        # dropped grads); padding ids are excluded — zeros are their answer
+        n_over = jax.lax.psum(jnp.sum(jnp.logical_and(~ok, real)), "data")
         return got.reshape(*local_ids.shape, -1), n_over[None]
 
     fn = jax.shard_map(local_fn, mesh=mesh,

