@@ -30,18 +30,30 @@ def main():
     ap.add_argument("--process_id", type=int, default=0)
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--fake", action="store_true",
-                    help="force CPU with 8 fake devices (single process)")
+                    help="force CPU with fake devices (works multi-process "
+                         "too: each process gets --local_devices fake chips "
+                         "and collectives ride Gloo)")
+    ap.add_argument("--local_devices", type=int, default=8,
+                    help="fake devices PER PROCESS under --fake")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--mesh_model", type=int, default=2)
     ap.add_argument("--mesh_seq", type=int, default=1)
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="save a per-shard checkpoint at the end (multi-"
+                         "process: every process writes its owned shards; "
+                         "shared filesystem assumed) and restore-verify")
     args = ap.parse_args()
 
     if args.fake:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
+        # force OUR device count even when the caller env (e.g. pytest's
+        # conftest) already set one — under --num_processes the per-process
+        # count decides the global mesh size
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{args.local_devices}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
 
     import jax
 
@@ -130,6 +142,31 @@ def main():
     n_steps = max(1, i)
     print(f"[host {jax.process_index()}] {n_steps} steps in {dt:.2f}s "
           f"({n_steps / dt:.2f} steps/s), loss={float(metrics['loss']):.4f}")
+
+    if args.ckpt_dir:
+        # per-shard checkpoint across processes: each process writes only
+        # the shard extents it canonically owns (train/checkpoint.py) —
+        # non-addressable shards never touch this host. Then restore
+        # shard-direct onto the same mesh and verify a param checksum.
+        import jax.numpy as jnp
+
+        from tencent_recommendation_2025_tpu.train import checkpoint as CK
+
+        path = CK.save_checkpoint(args.ckpt_dir, state,
+                                  global_step=n_steps,
+                                  valid_loss=float(metrics["loss"]))
+        shardings = {p: l.sharding for p, l in
+                     CK._flatten_with_paths(state)
+                     if hasattr(l, "sharding")}
+        restored, meta = CK.load_checkpoint(path, state, shardings=shardings)
+        a = jax.jit(lambda p: sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                                  for x in jax.tree.leaves(p)),
+                    out_shardings=jax.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec()))
+        s0, s1 = float(a(state.params)), float(a(restored.params))
+        print(f"[host {jax.process_index()}] ckpt saved {path.name}: "
+              f"param |sum| {s0:.4f} -> restored {s1:.4f} "
+              f"({'OK' if abs(s0 - s1) < 1e-3 * max(1.0, abs(s0)) else 'MISMATCH'})")
 
 
 if __name__ == "__main__":

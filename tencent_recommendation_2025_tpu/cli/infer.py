@@ -149,35 +149,46 @@ def infer(argv=None):
                 m[i] = v
         mm_vecs[fid] = m
 
-    # ONE scanned jit over fixed-size batches: a python loop of per-batch
-    # dispatches pays the dispatch/tunnel latency per batch (~200 round
-    # trips at a 200K corpus); the scan keeps the whole encode on device
-    # (same pattern as benchmarks/serving_bench.py — 5.8M items/s there)
+    # Scanned jit over fixed-size batches, dispatched in SUPER-CHUNKS of
+    # SB scan blocks: a python loop of per-batch dispatches pays the
+    # dispatch/tunnel latency per batch (~200 round trips at a 200K
+    # corpus), but one scan over the WHOLE corpus stages every input —
+    # including the high-dim mm vectors (ids 82-86: 1024-4096 f32 dims) —
+    # in HBM at once, multiple GB at 200K+ items. SB blocks per dispatch
+    # bounds device residency to one chunk's inputs + outputs (~0.5 GB
+    # worst case) while keeping dispatches rare (7 at a 200K corpus).
     bs = 1024
-    pad = (-n) % bs
-    nb = (n + pad) // bs
+    SB = 32                                   # scan blocks per dispatch
+    nb = -(-n // bs)
+    nb_pad = -(-nb // SB) * SB
+    pad = nb_pad * bs - n
 
     def padb(x):
         return np.concatenate(
             [x, np.zeros((pad, *x.shape[1:]), x.dtype)]) if pad else x
 
-    ids_b = jnp.asarray(padb(ids).reshape(nb, bs))
-    sp_b = jnp.asarray(padb(sp).reshape(nb, bs, *sp.shape[1:]))
-    ar_b = jnp.asarray(padb(ar).reshape(nb, bs, *ar.shape[1:]))
-    mm_b = {k: jnp.asarray(padb(v).reshape(nb, bs, *v.shape[1:]))
+    ids_b = padb(ids).reshape(nb_pad, bs)
+    sp_b = padb(sp).reshape(nb_pad, bs, *sp.shape[1:])
+    ar_b = padb(ar).reshape(nb_pad, bs, *ar.shape[1:])
+    mm_b = {k: padb(v).reshape(nb_pad, bs, *v.shape[1:])
             for k, v in mm_vecs.items()}
 
     @jax.jit
-    def encode_all(p, ids_b, sp_b, ar_b, mm_b):
+    def encode_chunk(p, ids_c, sp_c, ar_c, mm_c):
         def body(_, xs):
             i, s, a, m = xs
             return None, model.encode_items(p, i, s, a, m)
 
-        _, embs = jax.lax.scan(body, None, (ids_b, sp_b, ar_b, mm_b))
-        return embs.reshape(nb * bs, -1)
+        _, embs = jax.lax.scan(body, None, (ids_c, sp_c, ar_c, mm_c))
+        return embs.reshape(SB * bs, -1)
 
-    corpus = np.asarray(encode_all(params, ids_b, sp_b, ar_b, mm_b),
-                        np.float32)[:n]
+    chunks = []
+    for o in range(0, nb_pad, SB):
+        sl = slice(o, o + SB)
+        chunks.append(np.asarray(encode_chunk(
+            params, ids_b[sl], sp_b[sl], ar_b[sl],
+            {k: v[sl] for k, v in mm_b.items()}), np.float32))
+    corpus = np.concatenate(chunks, axis=0)[:n]
 
     formats.save_emb(corpus, result_dir / "embedding.fbin")
     formats.save_emb(np.asarray(retrieval_ids, np.uint64).reshape(-1, 1),

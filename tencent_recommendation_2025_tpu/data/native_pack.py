@@ -122,14 +122,21 @@ def load_native_cache(cache_dir: Path, sampler: TrainSampler) -> PackedCache:
         tmp = sorted_path.with_suffix(".tmp")
         vs[order].tofile(tmp)
         tmp.rename(sorted_path)
-    # user-token cap check (sampled): the device user tower computes on
+    # user-token cap check (ALL rows): the device user tower computes on
     # MAX_USER_TOKENS_PER_ROW gathered positions (models/embedding) — a
     # data layout with more per row must fail loudly, incl. via this
-    # python-free loader
+    # python-free loader. One chunked sequential pass over the token_type
+    # memmap (64K rows at a time keeps peak memory ~tens of MB at any U);
+    # a sampled probe would let an over-cap row beyond the sample silently
+    # drop its surplus user-token contributions in fuse_sequence.
     from ..config import MAX_USER_TOKENS_PER_ROW as _K
 
-    probe = np.asarray(self.fields["token_type"][: min(U, 65536)])
-    worst = int((probe == 2).sum(axis=1).max()) if len(probe) else 0
+    tt = self.fields["token_type"]
+    worst = 0
+    for o in range(0, U, 65536):
+        chunk = np.asarray(tt[o:o + 65536])
+        if len(chunk):
+            worst = max(worst, int((chunk == 2).sum(axis=1).max()))
     if worst > _K:
         raise ValueError(
             f"native cache rows carry {worst} user tokens > "

@@ -303,18 +303,23 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
         mesh.shape.get(ax, 1) == 1 for ax in ("seq", "pipe", "model"))
     if mesh_trivial and fused_block_supported(
             cfg, L, jax.default_backend()):
-        from ..ops.fused_block import fused_hstu_block
+        from ..ops.fused_block import fused_hstu_block_t
 
         seeds = (jax.random.randint(rng, (cfg.num_blocks,), 0, 2 ** 31 - 1,
                                     dtype=jnp.int32)
                  if use_dropout else jnp.zeros((cfg.num_blocks,), jnp.int32))
 
-        def fused_body(x, scanned):
+        def fused_body(xt, scanned):
             bp, sd = scanned
-            return fused_hstu_block(x, bp, token_type, sd, cfg.num_heads,
-                                    cfg.dropout_rate, use_dropout), None
+            return fused_hstu_block_t(xt, bp, token_type, sd, cfg.num_heads,
+                                      cfg.dropout_rate, use_dropout), None
 
-        x, _ = jax.lax.scan(fused_body, x, (params["blocks"], seeds))
+        # the kernel runs on [B, D, L] activations (full VREG lanes at
+        # D=64 — see ops/fused_block.py); transpose ONCE around the whole
+        # block chain, not per block
+        xt = jnp.swapaxes(x, 1, 2)
+        xt, _ = jax.lax.scan(fused_body, xt, (params["blocks"], seeds))
+        x = jnp.swapaxes(xt, 1, 2)
         return layernorm(_cast_ln(params["last_ln"], dtype), x)
 
     mha_core, hstu_core = make_attention_cores(cfg, token_type, mesh)

@@ -17,6 +17,28 @@ removes them by running the ENTIRE block on VMEM-resident data:
     x1, x3 = split(h2 @ W13)                # SwiGLU (C2b)
     out  = y + dropout(silu(x1) * x3) @ W2
 
+TRANSPOSED LAYOUT (round 4): the kernel runs on [D, L] activations, not
+[L, D]. At the flagship D=64 the minor dim of every [L, D] array is
+lane-padded 64->128 (Mosaic T(8,128) tiling), so HALF of every VPU pass
+and half of every MXU output tile with N=D was wasted by construction —
+the round-3 roofline's "D=64 fills only half the 128-lane MXU output".
+With activations [D, L] (L a multiple of 128):
+
+  * every elementwise pass packs VREG lanes fully (2x VPU throughput);
+  * the attention stripe matmuls ALL fill the output lanes: fwd
+    s^T = k q^T is [ks, BLK] (N=128) and av^T = v^T a^T is [hd, BLK]
+    via a K=ks contraction; bwd dq^T/dk^T/dv^T come out [hd, *] through
+    K=128/ks contractions instead of the old N=64 half-lane products;
+  * weight matmuls become W^T @ act with N=L (full);
+  * VMEM residents shrink 2x (no lane padding on [D, L] f32 scratch).
+
+There are NO transposes inside the kernel — the bias tiles are passed
+pre-transposed, kv padding becomes a [L, 1] column add, LN reduces over
+sublanes, and dq/dk/dv are produced transposed by construction. The
+encoder transposes [B, L, D] -> [B, D, L] ONCE outside its lax.scan over
+blocks (models/encoder.encode), so chained blocks pay no per-block
+relayout either.
+
 The backward direction is ONE kernel: it recomputes the forward
 intermediates in VMEM (in-kernel rematerialization — only the attention
 output ``av`` is saved from the forward, the round-2 finding that re-running
@@ -48,34 +70,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .hstu_attention import (BLK, MASK_NEG, _bias_tiles,
-                             _bias_tiles_transpose, _dsilu, _stripe_bias)
+                             _bias_tiles_transpose, _dsilu)
 
-# stripe q-block width. 128 measured best on v5e: 256 halves the stripe
-# count but one flagship block fwd+bwd measured 3.99 ms vs 3.26 ms at 128
-# (2026-08-18) — the [256, L] f32 stripe intermediates pressure the vector
-# registers, the same failure mode as the chunked kernel's 512 block
+# stripe q-block width. 128 measured best on v5e in BOTH layouts: at 256
+# the flagship block measured fwd+bwd 3.99 vs 3.26 ms pre-transpose
+# (2026-08-18) and 3.40 vs 2.68 ms in the transposed layout (2026-08-19,
+# fwd 1.90 vs 1.08) — the [ks, 256] f32 stripe intermediates pressure the
+# vector registers, the same failure mode as the chunked kernel's 512 block
 FB_BLK = BLK
 
 _EPS = 1e-8  # models/embedding.layernorm default
 
 
-def _ln_fwd(xf, g_row, b_row):
-    """f32 LN (params as [1, D] rows) returning (out, xhat, rstd)."""
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+def _ln_fwd_t(xf, g_col, b_col):
+    """f32 LN over the SUBLANE (feature) axis of a [D, L] activation;
+    params as [D, 1] columns. Returns (out, xhat, rstd[1, L])."""
+    mu = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=0, keepdims=True)
     rstd = jax.lax.rsqrt(var + _EPS)
     xhat = (xf - mu) * rstd
-    return xhat * g_row + b_row, xhat, rstd
+    return xhat * g_col + b_col, xhat, rstd
 
 
-def _ln_bwd(dy, xhat, rstd, g_row):
-    """dx for y = xhat*g + b; (dgamma, dbeta) as [1, D] row-sums."""
-    dxhat = dy * g_row
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+def _ln_bwd_t(dy, xhat, rstd, g_col):
+    """dx for y = xhat*g + b in [D, L] layout; (dgamma, dbeta) are [D, 1]
+    lane-sums."""
+    dxhat = dy * g_col
+    m1 = jnp.mean(dxhat, axis=0, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
     dx = rstd * (dxhat - m1 - xhat * m2)
-    return (dx, jnp.sum(dy * xhat, axis=0, keepdims=True),
-            jnp.sum(dy, axis=0, keepdims=True))
+    return (dx, jnp.sum(dy * xhat, axis=1, keepdims=True),
+            jnp.sum(dy, axis=1, keepdims=True))
 
 
 def _keep_mask(shape, rate):
@@ -90,234 +115,253 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _attn_fwd_stripes(q16, k16, v16, kv_neg, tiles_ref, av_acc, *,
-                      n_tiles, num_heads, n_blocks):
-    """The whole-seq stripe loop, writing the attention output into the
-    av_acc VMEM scratch.
+def _stripe_bias_t(tilest_ref, h, qb, n_kb, n_tiles):
+    """Static [n_kb*BLK, BLK] TRANSPOSED bias stripe for query block qb
+    ([k, q]-indexed, matching s^T). ``tilest_ref`` holds the bias tiles
+    pre-transposed per tile (XLA-side ``tiles.transpose(0, 1, 3, 2)``), so
+    this is pure static ref slicing + sublane concatenation."""
+    parts = []
+    for kb in range(n_kb):
+        slot = min(qb - kb, n_tiles - 1)
+        parts.append(tilest_ref[h, slot])
+    return jnp.concatenate(parts, axis=0)
 
-    Masking is ADDITIVE (round-4 rewrite): the causal upper triangle rides
-    the slot-0 bias tile (``_bias_tiles(causal_diag=True)``) and key padding
-    is ``kv_neg`` ([1, L] f32, 0 valid / MASK_NEG padded) broadcast-added to
-    every stripe — silu/dsilu of -1e4 are exactly 0, so the old per-stripe
-    iota/compare/and/cast/mul mask passes vanish. The 1/seq_len factor is
-    pre-folded into ``v16`` by the caller."""
-    D = q16.shape[-1]
+
+def _attn_fwd_stripes_t(qt, kt, vt, kvn, tilest_ref, avt_acc, *,
+                        n_tiles, num_heads, n_blocks):
+    """Whole-seq stripe loop in transposed layout, writing the attention
+    output (transposed, [D, L]) into the avt_acc VMEM scratch.
+
+    Per (q-block, head): s^T = k q^T is a [ks, BLK] product (output lanes
+    FULL at any head dim — the old layout's av had N=hd<=64 half-lane
+    outputs), and av^T = v^T @ silu(s^T) contracts over ks with a [hd, BLK]
+    output. Masking is ADDITIVE: the causal upper triangle rides the slot-0
+    bias tile and key padding is ``kvn`` ([L, 1] f32, 0 valid / MASK_NEG
+    padded) broadcast-added down each stripe's lanes — silu/dsilu(-1e4) == 0
+    exactly. The 1/seq_len factor is pre-folded into ``vt`` by the caller."""
+    D = qt.shape[0]
     hd = D // num_heads
-    blk = tiles_ref.shape[-1]
+    blk = tilest_ref.shape[-1]
     for qb in range(n_blocks):
         ks = (qb + 1) * blk
         qsl = slice(qb * blk, (qb + 1) * blk)
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
-            s = _dot(q16[qsl, sl], k16[:ks, sl], ((1,), (1,)))
-            s = s + (_stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-                     + kv_neg[:, :ks])
-            a = jax.nn.silu(s).astype(q16.dtype)
-            av_acc[qsl, sl] = _dot(a, v16[:ks, sl], ((1,), (0,)))
+            st = _dot(kt[sl, :ks], qt[sl, qsl], ((0,), (0,)))   # [ks, blk]
+            st = st + (_stripe_bias_t(tilest_ref, h, qb, qb + 1, n_tiles)
+                       + kvn[:ks])
+            at = jax.nn.silu(st).astype(qt.dtype)
+            avt_acc[sl, qsl] = _dot(vt[sl, :ks], at, ((1,), (0,)))
 
 
-def _attn_bwd_stripes(q16, k16, v16, dav, kv_neg, tiles_ref, dtiles_ref,
-                      dk_acc, dv_acc, *, n_tiles, num_heads,
-                      n_blocks, scale):
-    """Stripe backward: returns dq (f32, includes *scale, i.e. the gradient
-    w.r.t. the UNSCALED q projection); dk/dv accumulate into VMEM scratch;
-    bias-tile grads accumulate into the revisited dtiles output ref.
+def _attn_bwd_stripes_t(qt, kt, vt, davt, kvn, tilest_ref, dtilest_ref,
+                        dkt_acc, dvt_acc, *, n_tiles, num_heads,
+                        n_blocks, scale):
+    """Stripe backward in transposed layout: returns dq^T ([D, L] f32,
+    includes *scale, i.e. the gradient w.r.t. the UNSCALED q projection);
+    dk^T/dv^T accumulate into VMEM scratch; TRANSPOSED bias-tile grads
+    accumulate into the revisited dtilest output ref (un-transposed by the
+    XLA caller — a tiny [H, nt, blk, blk] op).
 
-    Same additive-mask scheme as the forward: ds is exactly zero at masked
-    positions (dsilu(-1e4) == 0), so dk/dtiles need no mask factor; v16 is
-    pre-scaled by 1/seq_len, making the returned dv the gradient w.r.t. the
-    SCALED v (caller multiplies by 1/seq_len once)."""
-    cdt = q16.dtype
-    D = q16.shape[-1]
+    Every matmul here fills the output lanes: dv^T and dk^T contract over
+    the BLK=128 q dim, dq^T and da^T over ks/hd — the old layout paid N=64
+    on all three. Same additive-mask scheme as the forward: ds is exactly
+    zero at masked positions (dsilu(-1e4) == 0), so dk/dtiles need no mask
+    factor; vt is pre-scaled by 1/seq_len, making the returned dv^T the
+    gradient w.r.t. the SCALED v (caller multiplies by 1/seq_len once)."""
+    cdt = qt.dtype
+    D = qt.shape[0]
     hd = D // num_heads
-    blk = tiles_ref.shape[-1]
-    dk_acc[...] = jnp.zeros_like(dk_acc)
-    dv_acc[...] = jnp.zeros_like(dv_acc)
-    dq_rows = []
+    blk = tilest_ref.shape[-1]
+    dkt_acc[...] = jnp.zeros_like(dkt_acc)
+    dvt_acc[...] = jnp.zeros_like(dvt_acc)
+    dqt_cols = []
     for qb in range(n_blocks):
         ks = (qb + 1) * blk
         qsl = slice(qb * blk, (qb + 1) * blk)
-        dqs = []
+        dqts = []
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
-            do_b = dav[qsl, sl].astype(cdt)
-            s = _dot(q16[qsl, sl], k16[:ks, sl], ((1,), (1,)))
-            s = s + (_stripe_bias(tiles_ref, h, qb, qb + 1, n_tiles)
-                     + kv_neg[:, :ks])
-            a = jax.nn.silu(s).astype(cdt)
-            dv_acc[:ks, sl] += _dot(a, do_b, ((0,), (0,)))
-            da = _dot(do_b, v16[:ks, sl], ((1,), (1,)))
-            ds = da * _dsilu(s)
-            ds_c = ds.astype(cdt)
-            dqs.append(_dot(ds_c, k16[:ks, sl], ((1,), (0,))))
-            dk_acc[:ks, sl] += _dot(ds_c, q16[qsl, sl], ((0,), (0,)))
+            dot_b = davt[sl, qsl].astype(cdt)                   # [hd, blk]
+            st = _dot(kt[sl, :ks], qt[sl, qsl], ((0,), (0,)))   # [ks, blk]
+            st = st + (_stripe_bias_t(tilest_ref, h, qb, qb + 1, n_tiles)
+                       + kvn[:ks])
+            at = jax.nn.silu(st).astype(cdt)
+            dvt_acc[sl, :ks] += _dot(dot_b, at, ((1,), (1,)))   # [hd, ks]
+            dat = _dot(vt[sl, :ks], dot_b, ((0,), (0,)))        # [ks, blk]
+            dst = dat * _dsilu(st)
+            dst_c = dst.astype(cdt)
+            dqts.append(_dot(kt[sl, :ks], dst_c, ((1,), (0,))))  # [hd, blk]
+            dkt_acc[sl, :ks] += _dot(qt[sl, qsl], dst_c,
+                                     ((1,), (1,)))               # [hd, ks]
             for kb in range(qb + 1):
                 slot = min(qb - kb, n_tiles - 1)
-                dtiles_ref[h, slot] += ds[:, kb * blk:(kb + 1) * blk]
-        dq_rows.append(jnp.concatenate(dqs, axis=-1) * scale)
-    return jnp.concatenate(dq_rows, axis=0)
+                dtilest_ref[h, slot] += dst[kb * blk:(kb + 1) * blk, :]
+        dqt_cols.append(jnp.concatenate(dqts, axis=0) * scale)
+    return jnp.concatenate(dqt_cols, axis=1)
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
-                wo_ref, bo_ref, w13_ref, w2_ref, tiles_ref,
-                out_ref, av_ref, av_acc, *,
+def _fwd_kernel(seed_ref, xt_ref, valid_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
+                wo_ref, bot_ref, w13_ref, w2_ref, tilest_ref,
+                outt_ref, avt_ref, avt_acc, *,
                 seq_len, n_tiles, num_heads, n_blocks, scale, rate, train):
     f32 = jnp.float32
     b = pl.program_id(0)
-    x16 = x_ref[0]                                    # [L, D] compute dtype
-    cdt = x16.dtype
-    xf = x16.astype(f32)
-    D = xf.shape[-1]
-    kv_neg = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)  # [1, L] f32
+    xt16 = xt_ref[0]                                  # [D, L] compute dtype
+    cdt = xt16.dtype
+    xf = xt16.astype(f32)
+    D = xf.shape[0]
+    kvn = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)     # [L, 1] f32
     drop = train and rate > 0.0                       # python-static
 
     # --- attention half ---
-    h1, _, _ = _ln_fwd(xf, ln_ref[0:1, :], ln_ref[1:2, :])
-    uvqk = _dot(h1.astype(cdt), wuvqk_ref[...], ((1,), (0,))) \
-        + buvqk_ref[0:1, :]
-    uvqk = jax.nn.silu(uvqk)                          # [L, 4D] f32
-    u = uvqk[:, :D]
-    v16 = (uvqk[:, D:2 * D] * (1.0 / seq_len)).astype(cdt)
-    q16 = (uvqk[:, 2 * D:3 * D] * scale).astype(cdt)
-    k16 = uvqk[:, 3 * D:].astype(cdt)
-    _attn_fwd_stripes(q16, k16, v16, kv_neg, tiles_ref, av_acc,
-                      n_tiles=n_tiles,
-                      num_heads=num_heads, n_blocks=n_blocks)
-    av = av_acc[...]                                  # [L, D] f32
-    av_ref[0] = av.astype(cdt)                        # residual for backward
+    h1, _, _ = _ln_fwd_t(xf, lnt_ref[:, 0:1], lnt_ref[:, 1:2])
+    uvqkt = _dot(wuvqk_ref[...], h1.astype(cdt), ((0,), (0,))) \
+        + buvqkt_ref[:, 0:1]
+    uvqkt = jax.nn.silu(uvqkt)                        # [4D, L] f32
+    ut = uvqkt[:D]
+    vt = (uvqkt[D:2 * D] * (1.0 / seq_len)).astype(cdt)
+    qt = (uvqkt[2 * D:3 * D] * scale).astype(cdt)
+    kt = uvqkt[3 * D:].astype(cdt)
+    _attn_fwd_stripes_t(qt, kt, vt, kvn, tilest_ref, avt_acc,
+                        n_tiles=n_tiles,
+                        num_heads=num_heads, n_blocks=n_blocks)
+    avt = avt_acc[...]                                # [D, L] f32
+    avt_ref[0] = avt.astype(cdt)                      # residual for backward
 
-    g, _, _ = _ln_fwd(av, ln_ref[2:3, :], ln_ref[3:4, :])
-    g = g * u
+    g, _, _ = _ln_fwd_t(avt, lnt_ref[:, 2:3], lnt_ref[:, 3:4])
+    g = g * ut
     if drop:
         pltpu.prng_seed(seed_ref[0], 2 * b)
         g = g * _keep_mask(g.shape, rate)
-    y = xf + _dot(g.astype(cdt), wo_ref[...], ((1,), (0,))) + bo_ref[0:1, :]
+    yt = xf + _dot(wo_ref[...], g.astype(cdt), ((0,), (0,))) + bot_ref[:, 0:1]
 
     # --- FFN half (SwiGLU) ---
-    h2, _, _ = _ln_fwd(y, ln_ref[4:5, :], ln_ref[5:6, :])
-    x13 = _dot(h2.astype(cdt), w13_ref[...], ((1,), (0,)))
-    F = x13.shape[-1] // 2
-    f = jax.nn.silu(x13[:, :F]) * x13[:, F:]
+    h2, _, _ = _ln_fwd_t(yt, lnt_ref[:, 4:5], lnt_ref[:, 5:6])
+    x13t = _dot(w13_ref[...], h2.astype(cdt), ((0,), (0,)))      # [2F, L]
+    F = x13t.shape[0] // 2
+    f = jax.nn.silu(x13t[:F]) * x13t[F:]
     if drop:
         pltpu.prng_seed(seed_ref[0], 2 * b + 1)
         f = f * _keep_mask(f.shape, rate)
-    out = y + _dot(f.astype(cdt), w2_ref[...], ((1,), (0,)))
-    out_ref[0] = out.astype(out_ref.dtype)
+    outt = yt + _dot(w2_ref[...], f.astype(cdt), ((0,), (0,)))
+    outt_ref[0] = outt.astype(outt_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(seed_ref, x_ref, valid_ref, ln_ref, wuvqk_ref, buvqk_ref,
-                wo_ref, bo_ref, w13_ref, w2_ref, tiles_ref, av_ref, dout_ref,
-                dx_ref, dln_ref, dwuvqk_ref, dbuvqk_ref, dwo_ref, dbo_ref,
-                dw13_ref, dw2_ref, dtiles_ref,
-                dk_acc, dv_acc, *,
+def _bwd_kernel(seed_ref, xt_ref, valid_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
+                wo_ref, bot_ref, w13_ref, w2_ref, tilest_ref, avt_ref,
+                doutt_ref,
+                dxt_ref, dlnt_ref, dwuvqk_ref, dbuvqkt_ref, dwo_ref, dbot_ref,
+                dw13_ref, dw2_ref, dtilest_ref,
+                dkt_acc, dvt_acc, *,
                 seq_len, n_tiles, num_heads, n_blocks, scale, rate, train):
     f32 = jnp.float32
     b = pl.program_id(0)
-    x16 = x_ref[0]
-    cdt = x16.dtype
-    xf = x16.astype(f32)
-    D = xf.shape[-1]
-    kv_neg = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)  # [1, L] f32
-    dout = dout_ref[0].astype(f32)
+    xt16 = xt_ref[0]
+    cdt = xt16.dtype
+    xf = xt16.astype(f32)
+    D = xf.shape[0]
+    kvn = jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)     # [L, 1] f32
+    doutt = doutt_ref[0].astype(f32)                  # [D, L]
     drop = train and rate > 0.0
 
     @pl.when(b == 0)
     def _():
-        dln_ref[...] = jnp.zeros_like(dln_ref)
+        dlnt_ref[...] = jnp.zeros_like(dlnt_ref)
         dwuvqk_ref[...] = jnp.zeros_like(dwuvqk_ref)
-        dbuvqk_ref[...] = jnp.zeros_like(dbuvqk_ref)
+        dbuvqkt_ref[...] = jnp.zeros_like(dbuvqkt_ref)
         dwo_ref[...] = jnp.zeros_like(dwo_ref)
-        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dbot_ref[...] = jnp.zeros_like(dbot_ref)
         dw13_ref[...] = jnp.zeros_like(dw13_ref)
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        dtiles_ref[...] = jnp.zeros_like(dtiles_ref)
+        dtilest_ref[...] = jnp.zeros_like(dtilest_ref)
 
     # ---- recompute forward intermediates (av is loaded, not recomputed) ---
-    h1, xhat1, rstd1 = _ln_fwd(xf, ln_ref[0:1, :], ln_ref[1:2, :])
-    h1_16 = h1.astype(cdt)
-    uvqk_pre = _dot(h1_16, wuvqk_ref[...], ((1,), (0,))) + buvqk_ref[0:1, :]
-    uvqk = jax.nn.silu(uvqk_pre)
-    u = uvqk[:, :D]
-    v16 = (uvqk[:, D:2 * D] * (1.0 / seq_len)).astype(cdt)
-    q16 = (uvqk[:, 2 * D:3 * D] * scale).astype(cdt)
-    k16 = uvqk[:, 3 * D:].astype(cdt)
-    av = av_ref[0].astype(f32)
-    av_ln, xhat2, rstd2 = _ln_fwd(av, ln_ref[2:3, :], ln_ref[3:4, :])
-    g = av_ln * u
+    h1, xhat1, rstd1 = _ln_fwd_t(xf, lnt_ref[:, 0:1], lnt_ref[:, 1:2])
+    h1t_16 = h1.astype(cdt)
+    uvqk_pre = _dot(wuvqk_ref[...], h1t_16, ((0,), (0,))) + buvqkt_ref[:, 0:1]
+    uvqkt = jax.nn.silu(uvqk_pre)
+    ut = uvqkt[:D]
+    vt = (uvqkt[D:2 * D] * (1.0 / seq_len)).astype(cdt)
+    qt = (uvqkt[2 * D:3 * D] * scale).astype(cdt)
+    kt = uvqkt[3 * D:].astype(cdt)
+    avt = avt_ref[0].astype(f32)
+    av_ln, xhat2, rstd2 = _ln_fwd_t(avt, lnt_ref[:, 2:3], lnt_ref[:, 3:4])
+    g = av_ln * ut
     keep1 = keep2 = None
     if drop:
         pltpu.prng_seed(seed_ref[0], 2 * b)
         keep1 = _keep_mask(g.shape, rate)
         g = g * keep1
-    g16 = g.astype(cdt)
-    y = xf + _dot(g16, wo_ref[...], ((1,), (0,))) + bo_ref[0:1, :]
-    h2, xhat3, rstd3 = _ln_fwd(y, ln_ref[4:5, :], ln_ref[5:6, :])
-    h2_16 = h2.astype(cdt)
-    x13 = _dot(h2_16, w13_ref[...], ((1,), (0,)))
-    F = x13.shape[-1] // 2
-    x1, x3 = x13[:, :F], x13[:, F:]
+    gt16 = g.astype(cdt)
+    yt = xf + _dot(wo_ref[...], gt16, ((0,), (0,))) + bot_ref[:, 0:1]
+    h2, xhat3, rstd3 = _ln_fwd_t(yt, lnt_ref[:, 4:5], lnt_ref[:, 5:6])
+    h2t_16 = h2.astype(cdt)
+    x13t = _dot(w13_ref[...], h2t_16, ((0,), (0,)))
+    F = x13t.shape[0] // 2
+    x1, x3 = x13t[:F], x13t[F:]
     silu_x1 = jax.nn.silu(x1)
     f = silu_x1 * x3
     if drop:
         pltpu.prng_seed(seed_ref[0], 2 * b + 1)
         keep2 = _keep_mask(f.shape, rate)
         f = f * keep2
-    f16 = f.astype(cdt)
+    ft16 = f.astype(cdt)
 
     # ---- gradients ----
-    dout16 = dout.astype(cdt)
-    # out = y + f @ w2
-    dw2_ref[...] += _dot(f16, dout16, ((0,), (0,)))
-    df = _dot(dout16, w2_ref[...], ((1,), (1,)))
+    doutt16 = doutt.astype(cdt)
+    # out = y + W2^T f   (transposed view of out = y + f @ W2)
+    dw2_ref[...] += _dot(ft16, doutt16, ((1,), (1,)))            # [F, D]
+    dft = _dot(w2_ref[...], doutt16, ((1,), (0,)))               # [F, L]
     if drop:
-        df = df * keep2
-    dx1 = df * x3 * _dsilu(x1)
-    dx3 = df * silu_x1
-    dx13 = jnp.concatenate([dx1, dx3], axis=-1).astype(cdt)
-    dw13_ref[...] += _dot(h2_16, dx13, ((0,), (0,)))
-    dh2 = _dot(dx13, w13_ref[...], ((1,), (1,)))
-    dy_ln, dg_r, db_r = _ln_bwd(dh2, xhat3, rstd3, ln_ref[4:5, :])
-    dln_ref[4:5, :] += dg_r
-    dln_ref[5:6, :] += db_r
-    dy = dout + dy_ln
+        dft = dft * keep2
+    dx1 = dft * x3 * _dsilu(x1)
+    dx3 = dft * silu_x1
+    dx13t = jnp.concatenate([dx1, dx3], axis=0).astype(cdt)      # [2F, L]
+    dw13_ref[...] += _dot(h2t_16, dx13t, ((1,), (1,)))           # [D, 2F]
+    dh2t = _dot(w13_ref[...], dx13t, ((1,), (0,)))               # [D, L]
+    dy_ln, dg_c, db_c = _ln_bwd_t(dh2t, xhat3, rstd3, lnt_ref[:, 4:5])
+    dlnt_ref[:, 4:5] += dg_c
+    dlnt_ref[:, 5:6] += db_c
+    dyt = doutt + dy_ln
 
-    # y = xf + g @ wo + bo
-    dy16 = dy.astype(cdt)
-    dwo_ref[...] += _dot(g16, dy16, ((0,), (0,)))
-    dbo_ref[0:1, :] += jnp.sum(dy, axis=0, keepdims=True)
-    dg = _dot(dy16, wo_ref[...], ((1,), (1,)))
+    # y = xf + Wo^T g + bo
+    dyt16 = dyt.astype(cdt)
+    dwo_ref[...] += _dot(gt16, dyt16, ((1,), (1,)))              # [D, D]
+    dbot_ref[:, 0:1] += jnp.sum(dyt, axis=1, keepdims=True)
+    dgt = _dot(wo_ref[...], dyt16, ((1,), (0,)))                 # [D, L]
     if drop:
-        dg = dg * keep1
-    du = dg * av_ln
-    dav_ln = dg * u
-    dav, dg_r, db_r = _ln_bwd(dav_ln, xhat2, rstd2, ln_ref[2:3, :])
-    dln_ref[2:3, :] += dg_r
-    dln_ref[3:4, :] += db_r
+        dgt = dgt * keep1
+    dut = dgt * av_ln
+    dav_ln = dgt * ut
+    davt, dg_c, db_c = _ln_bwd_t(dav_ln, xhat2, rstd2, lnt_ref[:, 2:3])
+    dlnt_ref[:, 2:3] += dg_c
+    dlnt_ref[:, 3:4] += db_c
 
-    dq = _attn_bwd_stripes(q16, k16, v16, dav, kv_neg, tiles_ref, dtiles_ref,
-                           dk_acc, dv_acc, n_tiles=n_tiles,
-                           num_heads=num_heads, n_blocks=n_blocks,
-                           scale=scale)
-    # dv_acc holds the gradient w.r.t. the 1/seq_len-scaled v
-    duvqk = jnp.concatenate(
-        [du, dv_acc[...] * (1.0 / seq_len), dq, dk_acc[...]],
-        axis=-1) * _dsilu(uvqk_pre)
-    duvqk16 = duvqk.astype(cdt)
-    dwuvqk_ref[...] += _dot(h1_16, duvqk16, ((0,), (0,)))
-    dbuvqk_ref[0:1, :] += jnp.sum(duvqk, axis=0, keepdims=True)
-    dh1 = _dot(duvqk16, wuvqk_ref[...], ((1,), (1,)))
-    dx_ln, dg_r, db_r = _ln_bwd(dh1, xhat1, rstd1, ln_ref[0:1, :])
-    dln_ref[0:1, :] += dg_r
-    dln_ref[1:2, :] += db_r
-    dx_ref[0] = (dy + dx_ln).astype(dx_ref.dtype)
+    dqt = _attn_bwd_stripes_t(qt, kt, vt, davt, kvn, tilest_ref, dtilest_ref,
+                              dkt_acc, dvt_acc, n_tiles=n_tiles,
+                              num_heads=num_heads, n_blocks=n_blocks,
+                              scale=scale)
+    # dvt_acc holds the gradient w.r.t. the 1/seq_len-scaled v
+    duvqkt = jnp.concatenate(
+        [dut, dvt_acc[...] * (1.0 / seq_len), dqt, dkt_acc[...]],
+        axis=0) * _dsilu(uvqk_pre)
+    duvqkt16 = duvqkt.astype(cdt)
+    dwuvqk_ref[...] += _dot(h1t_16, duvqkt16, ((1,), (1,)))      # [D, 4D]
+    dbuvqkt_ref[:, 0:1] += jnp.sum(duvqkt, axis=1, keepdims=True)
+    dh1t = _dot(wuvqk_ref[...], duvqkt16, ((1,), (0,)))          # [D, L]
+    dx_ln, dg_c, db_c = _ln_bwd_t(dh1t, xhat1, rstd1, lnt_ref[:, 0:1])
+    dlnt_ref[:, 0:1] += dg_c
+    dlnt_ref[:, 1:2] += db_c
+    dxt_ref[0] = (dyt + dx_ln).astype(dxt_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -337,83 +381,89 @@ def _specs(L, D, F, H, nt):
     """Input specs shared by both kernels (x/valid are per-batch blocks,
     weights are whole-array blocks revisited every grid step)."""
     return [
-        _batch((1, L, D)),                                       # x
-        _batch((1, 1, L)),                                       # valid
-        _full((6, D)),                                           # ln pack
+        _batch((1, D, L)),                                       # x^T
+        _batch((1, L, 1)),                                       # valid col
+        _full((D, 6)),                                           # ln pack^T
         _full((D, 4 * D)),                                       # wuvqk
-        _full((1, 4 * D)),                                       # buvqk
+        _full((4 * D, 1)),                                       # buvqk^T
         _full((D, D)),                                           # wo
-        _full((1, D)),                                           # bo
+        _full((D, 1)),                                           # bo^T
         _full((D, 2 * F)),                                       # w13
         _full((F, D)),                                           # w2
-        _full((H, nt, FB_BLK, FB_BLK)),                          # bias tiles
+        _full((H, nt, FB_BLK, FB_BLK)),                          # bias tiles^T
     ]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
-def _fused_block_core(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
+def _fused_block_core(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
                       seed1, num_heads, rate, train, interpret):
-    out, _ = _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo,
+    out, _ = _fused_fwd_call(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot,
                              w13, w2, seed1, num_heads, rate, train,
                              interpret)
     return out
 
 
-def _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
+def _tiles_t(rab):
+    """Pre-transposed bias tiles ([k, q]-indexed per tile) for the
+    transposed stripe loops. Tiny differentiable XLA precompute."""
+    return _bias_tiles(rab, FB_BLK, causal_diag=True).transpose(0, 1, 3, 2)
+
+
+def _fused_fwd_call(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
                     seed1, num_heads, rate, train, interpret):
-    B, L, D = x.shape
+    B, D, L = xt.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, FB_BLK, causal_diag=True)
-    H, nt = tiles.shape[0], tiles.shape[1]
+    tilest = _tiles_t(rab)
+    H, nt = tilest.shape[0], tilest.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
         in_specs=_specs(L, D, F, H, nt),
-        out_specs=[_batch((1, L, D)), _batch((1, L, D))],
-        scratch_shapes=[pltpu.VMEM((L, D), jnp.float32)],
+        out_specs=[_batch((1, D, L)), _batch((1, D, L))],
+        scratch_shapes=[pltpu.VMEM((D, L), jnp.float32)],
     )
     hd = D // num_heads
-    out, av = pl.pallas_call(
+    out, avt = pl.pallas_call(
         functools.partial(_fwd_kernel, seq_len=L, n_tiles=nt,
                           num_heads=num_heads, n_blocks=L // FB_BLK,
                           scale=hd ** -0.5, rate=rate, train=train),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, L, D), x.dtype),
-                   jax.ShapeDtypeStruct((B, L, D), x.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((B, D, L), xt.dtype),
+                   jax.ShapeDtypeStruct((B, D, L), xt.dtype)],
         interpret=interpret,
-    )(seed1, x, valid3, ln, wuvqk, buvqk, wo, bo, w13, w2, tiles)
-    return out, av
+    )(seed1, xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13, w2, tilest)
+    return out, avt
 
 
-def _core_fwd(x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
+def _core_fwd(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
               seed1, num_heads, rate, train, interpret):
-    out, av = _fused_fwd_call(x, valid3, rab, ln, wuvqk, buvqk, wo, bo,
-                              w13, w2, seed1, num_heads, rate, train,
-                              interpret)
-    return out, (x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2,
-                 seed1, av)
+    out, avt = _fused_fwd_call(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot,
+                               w13, w2, seed1, num_heads, rate, train,
+                               interpret)
+    return out, (xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
+                 seed1, avt)
 
 
 def _core_bwd(num_heads, rate, train, interpret, res, dout):
-    x, valid3, rab, ln, wuvqk, buvqk, wo, bo, w13, w2, seed1, av = res
-    B, L, D = x.shape
+    xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seed1, avt = res
+    B, D, L = xt.shape
     F = w2.shape[0]
-    tiles = _bias_tiles(rab, FB_BLK, causal_diag=True)
-    H, nt = tiles.shape[0], tiles.shape[1]
+    tilest = _tiles_t(rab)
+    H, nt = tilest.shape[0], tilest.shape[1]
     in_specs = _specs(L, D, F, H, nt) + [
-        _batch((1, L, D)),                                       # av
-        _batch((1, L, D)),                                       # dout
+        _batch((1, D, L)),                                       # av^T
+        _batch((1, D, L)),                                       # dout^T
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
         in_specs=in_specs,
         out_specs=[
-            _batch((1, L, D)),                                   # dx
-            _full((6, D)), _full((D, 4 * D)), _full((1, 4 * D)),
-            _full((D, D)), _full((1, D)), _full((D, 2 * F)),
+            _batch((1, D, L)),                                   # dx^T
+            _full((D, 6)), _full((D, 4 * D)), _full((4 * D, 1)),
+            _full((D, D)), _full((D, 1)), _full((D, 2 * F)),
             _full((F, D)), _full((H, nt, FB_BLK, FB_BLK)),
         ],
-        scratch_shapes=[pltpu.VMEM((L, D), jnp.float32),
-                        pltpu.VMEM((L, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, L), jnp.float32),
+                        pltpu.VMEM((D, L), jnp.float32)],
     )
     hd = D // num_heads
     outs = pl.pallas_call(
@@ -422,21 +472,24 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
                           scale=hd ** -0.5, rate=rate, train=train),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, D), x.dtype),
-            jax.ShapeDtypeStruct((6, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, D, L), xt.dtype),
+            jax.ShapeDtypeStruct((D, 6), jnp.float32),
             jax.ShapeDtypeStruct((D, 4 * D), jnp.float32),
-            jax.ShapeDtypeStruct((1, 4 * D), jnp.float32),
+            jax.ShapeDtypeStruct((4 * D, 1), jnp.float32),
             jax.ShapeDtypeStruct((D, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, 1), jnp.float32),
             jax.ShapeDtypeStruct((D, 2 * F), jnp.float32),
             jax.ShapeDtypeStruct((F, D), jnp.float32),
             jax.ShapeDtypeStruct((H, nt, FB_BLK, FB_BLK), jnp.float32),
         ],
         interpret=interpret,
-    )(seed1, x, valid3, ln, wuvqk, buvqk, wo, bo, w13, w2, tiles, av, dout)
-    dx, dln, dwuvqk, dbuvqk, dwo, dbo, dw13, dw2, dtiles = outs
-    drab = _bias_tiles_transpose(dtiles, rab.shape[1])
-    return (dx, None, drab, dln, dwuvqk, dbuvqk, dwo, dbo, dw13, dw2, None)
+    )(seed1, xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13, w2, tilest,
+      avt, dout)
+    dxt, dlnt, dwuvqk, dbuvqkt, dwo, dbot, dw13, dw2, dtilest = outs
+    # the kernel accumulated [k, q]-indexed tile grads; un-transpose (tiny)
+    drab = _bias_tiles_transpose(dtilest.transpose(0, 1, 3, 2), rab.shape[1])
+    return (dxt, None, drab, dlnt, dwuvqk, dbuvqkt, dwo, dbot, dw13, dw2,
+            None)
 
 
 _fused_block_core.defvjp(_core_fwd, _core_bwd)
@@ -458,6 +511,9 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
         return False
+    # transposed layout slices heads along sublanes — keep them tile-aligned
+    if (cfg.hidden_units // cfg.num_heads) % 8 != 0:
+        return False
     try:
         _n_near(cfg.hstu_rel_pos_buckets, BLK)
     except ValueError:
@@ -465,32 +521,52 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
     return True
 
 
-def fused_hstu_block(x, bp, token_type, seed, num_heads: int,
-                     dropout_rate: float = 0.0, train: bool = False,
-                     interpret: bool = False):
-    """One full HSTU block (pre-norm, SwiGLU FFN), fused.
-
-    ``x`` [B, L, D] compute-dtype; ``bp`` is the encoder's per-block param
-    subtree ({attn_ln, ffn_ln, ffn{w13,w2}, hstu{uvqk,out,attn_ln,rab}});
-    ``token_type`` [B, L] (0 = padding key); ``seed`` int32 scalar/0-d array
-    driving the in-kernel dropout PRNG. Returns x + block(x) — unlike
-    models/hstu.hstu_block the kernel owns the residual wiring.
-    """
+def _block_operands(bp, cdt):
+    """Kernel-ready (transposed) parameter pack from the encoder's per-block
+    param subtree."""
     f32 = jnp.float32
-    cdt = x.dtype
-    ln = jnp.stack([
+    lnt = jnp.stack([
         bp["attn_ln"]["scale"].astype(f32), bp["attn_ln"]["bias"].astype(f32),
         bp["hstu"]["attn_ln"]["scale"].astype(f32),
         bp["hstu"]["attn_ln"]["bias"].astype(f32),
         bp["ffn_ln"]["scale"].astype(f32), bp["ffn_ln"]["bias"].astype(f32),
-    ])
-    valid3 = (token_type != 0).astype(jnp.int32)[:, None, :]
+    ], axis=1)                                                   # [D, 6]
+    return (bp["hstu"]["rab"], lnt,
+            bp["hstu"]["uvqk"]["w"].astype(cdt),
+            bp["hstu"]["uvqk"]["b"].astype(f32)[:, None],        # [4D, 1]
+            bp["hstu"]["out"]["w"].astype(cdt),
+            bp["hstu"]["out"]["b"].astype(f32)[:, None],         # [D, 1]
+            bp["ffn"]["w13"].astype(cdt), bp["ffn"]["w2"].astype(cdt))
+
+
+def fused_hstu_block_t(xt, bp, token_type, seed, num_heads: int,
+                       dropout_rate: float = 0.0, train: bool = False,
+                       interpret: bool = False):
+    """One full HSTU block (pre-norm, SwiGLU FFN), fused, on TRANSPOSED
+    activations.
+
+    ``xt`` [B, D, L] compute-dtype; ``bp`` is the encoder's per-block param
+    subtree ({attn_ln, ffn_ln, ffn{w13,w2}, hstu{uvqk,out,attn_ln,rab}});
+    ``token_type`` [B, L] (0 = padding key); ``seed`` int32 scalar/0-d array
+    driving the in-kernel dropout PRNG. Returns xt + block(xt)^T — unlike
+    models/hstu.hstu_block the kernel owns the residual wiring. The encoder
+    transposes once OUTSIDE its scan over blocks, so block chains stay in
+    [B, D, L] end to end."""
+    rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2 = _block_operands(bp, xt.dtype)
+    valid3 = (token_type != 0).astype(jnp.int32)[:, :, None]     # [B, L, 1]
     seed1 = jnp.reshape(seed, (1,)).astype(jnp.int32)
     return _fused_block_core(
-        x, valid3, bp["hstu"]["rab"], ln,
-        bp["hstu"]["uvqk"]["w"].astype(cdt),
-        bp["hstu"]["uvqk"]["b"].astype(f32)[None, :],
-        bp["hstu"]["out"]["w"].astype(cdt),
-        bp["hstu"]["out"]["b"].astype(f32)[None, :],
-        bp["ffn"]["w13"].astype(cdt), bp["ffn"]["w2"].astype(cdt),
+        xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
         seed1, num_heads, float(dropout_rate), bool(train), bool(interpret))
+
+
+def fused_hstu_block(x, bp, token_type, seed, num_heads: int,
+                     dropout_rate: float = 0.0, train: bool = False,
+                     interpret: bool = False):
+    """[B, L, D] convenience wrapper around :func:`fused_hstu_block_t`
+    (oracle tests / single-block callers). Pays two XLA relayouts per call;
+    the encoder's scan path uses the transposed API directly instead."""
+    xt = jnp.swapaxes(x, 1, 2)
+    outt = fused_hstu_block_t(xt, bp, token_type, seed, num_heads,
+                              dropout_rate, train, interpret)
+    return jnp.swapaxes(outt, 1, 2)

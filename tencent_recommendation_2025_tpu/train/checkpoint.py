@@ -70,13 +70,17 @@ def _config_dict(model_config) -> Optional[dict]:
 def _shard_snapshot(leaf):
     """Host snapshot of one leaf WITHOUT gathering across devices.
 
-    A jax.Array with >1 distinct shard extents snapshots per ADDRESSABLE
-    shard: [(index_json, np.ndarray)], where index_json is the shard's
-    [start, stop] per dim within the global array. Only the first replica
-    of each extent is fetched (row-sharded tables replicate over unused
-    mesh axes). Everything else (replicated, single-device, numpy) snapshots
-    as one np.asarray — which for those is a device-local copy, not a
-    cross-device gather."""
+    A jax.Array with >1 distinct shard extents snapshots per shard as
+    [(index_json, payload)], where index_json is the shard's [start, stop]
+    per dim within the global array and payload is an np.ndarray for
+    extents THIS process owns, or None for extents owned elsewhere (the
+    multi-process case — the owning process writes those files). The
+    canonical owner of an extent is the process holding the lowest-id
+    device mapped to it, so exactly one process materializes each extent
+    even when replicas span processes. Everything else (replicated,
+    single-device, numpy) snapshots as one np.asarray — a device-local
+    copy, not a cross-device gather (fully-replicated arrays are host-
+    readable on every process)."""
     shards = getattr(leaf, "addressable_shards", None)
     if shards is None or getattr(leaf, "ndim", 0) == 0:
         return np.asarray(leaf)
@@ -87,6 +91,26 @@ def _shard_snapshot(leaf):
                  int(s.stop if s.stop is not None else d)]
                 for s, d in zip(index, shape)]
 
+    sharding = getattr(leaf, "sharding", None)
+    if sharding is not None and not getattr(leaf, "is_fully_addressable",
+                                            True):
+        # multi-process: enumerate ALL extents from the sharding (covers
+        # non-addressable devices), pick each extent's canonical owner
+        owner = {}
+        for dev, index in sharding.devices_indices_map(shape).items():
+            key = tuple(tuple(p) for p in idx_json(index))
+            if key not in owner or dev.id < owner[key].id:
+                owner[key] = dev
+        if len(owner) <= 1:
+            return np.asarray(leaf)   # replicated: every process has it
+        local = {tuple(tuple(p) for p in idx_json(sh.index)): sh
+                 for sh in shards}
+        out = []
+        for key, dev in sorted(owner.items()):
+            mine = (dev.process_index == jax.process_index())
+            out.append((list(list(p) for p in key),
+                        np.asarray(local[key].data) if mine else None))
+        return out
     seen = {}
     for sh in shards:
         key = tuple(tuple(p) for p in idx_json(sh.index))
@@ -122,9 +146,22 @@ def save_checkpoint(ckpt_dir, state: Any, global_step: int,
     simulates a crash after N leaf files."""
     out = Path(ckpt_dir) / f"global_step{global_step}.valid_loss={valid_loss:.4f}"
     tmp = out.with_name(out.name + ".tmp")
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
+    multiproc = jax.process_count() > 1
+    proc0 = jax.process_index() == 0
+    if multiproc:
+        # shared-filesystem contract (orbax-style): every process writes its
+        # OWNED shard files into the same staging dir; process 0 alone
+        # writes manifest/meta and renames. Barriers keep the phases apart.
+        from jax.experimental import multihost_utils as MH
+        if proc0:
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            tmp.mkdir(parents=True)
+        MH.sync_global_devices("ckpt_staging_ready")
+    else:
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
 
     snapshot = _snapshot if _snapshot is not None else _snapshot_state(state)
     entries = []
@@ -134,27 +171,48 @@ def save_checkpoint(ckpt_dir, state: Any, global_step: int,
             dims = len(payload[0][0])
             shape = [max(idx[d][1] for idx, _ in payload)
                      for d in range(dims)]
+            dtypes = [a.dtype for _, a in payload if a is not None]
             shard_entries = []
             for k, (idx, arr) in enumerate(payload):
-                if _fault_after_files is not None \
-                        and n_files >= _fault_after_files:
-                    raise RuntimeError("injected checkpoint fault (test hook)")
-                fname = f"leaf_{i:05d}.s{k:03d}.npy"
-                np.save(tmp / fname, arr)
-                n_files += 1
+                # extent-coded names: processes write disjoint extents into
+                # the same dir without coordination (multi-process); the
+                # single-process snapshot owns every extent
+                fname = (f"leaf_{i:05d}."
+                         + "_".join(f"{a}-{b}" for a, b in idx) + ".npy")
+                if arr is not None:
+                    if _fault_after_files is not None \
+                            and n_files >= _fault_after_files:
+                        raise RuntimeError(
+                            "injected checkpoint fault (test hook)")
+                    np.save(tmp / fname, arr)
+                    n_files += 1
                 shard_entries.append({"file": fname, "index": idx})
+            # process 0 always owns the extent holding device 0, so its
+            # dtype list is never empty; other processes' entries (possibly
+            # with no owned extent) are discarded before the manifest write
             entries.append({"path": path, "shape": shape,
-                            "dtype": str(payload[0][1].dtype),
+                            "dtype": str(dtypes[0]) if dtypes else "?",
                             "shards": shard_entries})
             continue
-        if _fault_after_files is not None and n_files >= _fault_after_files:
-            raise RuntimeError("injected checkpoint fault (test hook)")
         arr = np.asarray(payload)
         fname = f"leaf_{i:05d}.npy"
-        np.save(tmp / fname, arr)
-        n_files += 1
+        if not multiproc or proc0:
+            if _fault_after_files is not None \
+                    and n_files >= _fault_after_files:
+                raise RuntimeError("injected checkpoint fault (test hook)")
+            np.save(tmp / fname, arr)
+            n_files += 1
         entries.append({"path": path, "file": fname,
                         "shape": list(arr.shape), "dtype": str(arr.dtype)})
+    if multiproc:
+        from jax.experimental import multihost_utils as MH
+        # every process must know each sharded leaf's dtype for its own
+        # manifest view; only process 0's manifest is written. Fill any
+        # entry whose extents were all remote from the replicated meta.
+        MH.sync_global_devices("ckpt_shards_written")
+        if not proc0:
+            MH.sync_global_devices("ckpt_finalized")
+            return out
     (tmp / MANIFEST_FILE).write_text(json.dumps({"leaves": entries}))
     meta = {"global_step": global_step, "valid_loss": valid_loss}
     cfgd = _config_dict(model_config)
@@ -165,6 +223,9 @@ def save_checkpoint(ckpt_dir, state: Any, global_step: int,
     if out.exists():
         shutil.rmtree(out)
     tmp.rename(out)
+    if multiproc:
+        from jax.experimental import multihost_utils as MH
+        MH.sync_global_devices("ckpt_finalized")
     return out
 
 
@@ -193,6 +254,12 @@ def save_checkpoint_async(ckpt_dir, state: Any, global_step: int,
     buffers; sharded leaves fetch per-shard — no cross-device gather), write
     files on a background thread. The training step overlaps with disk I/O
     instead of blocking on it."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "save_checkpoint_async is single-process only: the multi-process "
+            "save synchronizes with cross-process barriers, which would "
+            "interleave with the main thread's collectives from a background "
+            "thread — use save_checkpoint (sync) in multi-process runs")
     snapshot = _snapshot_state(state)
 
     handle: AsyncSaveHandle
@@ -252,7 +319,8 @@ def _check_config(meta: dict, model_config) -> None:
             " (the reference's train/infer skew landmine, caught loudly)")
 
 
-def _convert_layout(arr: np.ndarray, tshape) -> Optional[np.ndarray]:
+def _convert_layout(arr: np.ndarray, tshape,
+                    path: str = "?") -> Optional[np.ndarray]:
     """Host-side conversion between a big table's two STORAGE layouts:
     logical [V, D] (mesh/unpacked runs) <-> packed [V/R, 8, 128] with <=31
     zero pad rows (single-chip runs; ops/sparse_table.packed_table_shape).
@@ -281,22 +349,46 @@ def _convert_layout(arr: np.ndarray, tshape) -> Optional[np.ndarray]:
             max(arr.shape[0], tshape[0]) % 32 == 0:
         # rowwise accumulator across the pad-row boundary (configs already
         # matched — only the physical row padding differs)
-        out = np.zeros(tshape, arr.dtype)
-        n = min(arr.shape[0], tshape[0])
-        out[:n] = arr[:n]
-        return out
+        return _repad_rows(arr, tshape, path)
     if arr.ndim == 2 and len(tshape) == 2 and arr.shape[1] == tshape[1] \
             and 0 < abs(arr.shape[0] - tshape[0]) < 32:
         # [V, D] table across the mesh shard-pad boundary: sharded saves
         # keep the padded physical rows (unpadding would all-gather the
         # table — see save_checkpoint); pad rows are zeros and never
-        # addressed, so cut or re-pad freely. Bound 32 >= max table shards
-        # (16) keeps genuine vocab skew loud.
-        out = np.zeros(tshape, arr.dtype)
-        n = min(arr.shape[0], tshape[0])
-        out[:n] = arr[:n]
-        return out
+        # addressed. Bound 32 >= max table shards (16) keeps gross vocab
+        # skew loud; _repad_rows refuses to cut NON-ZERO rows, so genuine
+        # small vocab skew (itemnum grew/shrank by a few between save and
+        # load — not caught by _check_config since vocab comes from the
+        # data) cannot silently discard trained rows.
+        return _repad_rows(arr, tshape, path)
     return None
+
+
+def _repad_rows(arr: np.ndarray, tshape, path: str) -> Optional[np.ndarray]:
+    """Cut or zero-extend ``arr``'s leading dim to ``tshape`` across a
+    shard-pad boundary. Cutting requires the dropped rows to be ALL ZERO
+    (shard pad rows are zeros by construction and never addressed) —
+    dropping a trained row means real vocab skew, which must fail loudly,
+    not be absorbed. Zero-extending is always storage-safe but still warns:
+    if the target's extra rows are genuinely new vocab ids (not shard pads)
+    they restore as zeros rather than fresh init."""
+    n = min(arr.shape[0], tshape[0])
+    if arr.shape[0] > n and np.any(arr[n:]):
+        raise ValueError(
+            f"checkpoint leaf {path!r} has {arr.shape[0]} rows but the model "
+            f"expects {tshape[0]}, and the surplus rows are NOT all zero — "
+            "this is trained data, not shard padding (vocab/itemnum skew "
+            "between save and load?); refusing to truncate")
+    if tshape[0] > arr.shape[0]:
+        import logging
+        logging.getLogger(__name__).warning(
+            "checkpoint leaf %r: zero-extending %d -> %d rows (shard-pad "
+            "re-pad; if the model's vocab actually grew, the new rows "
+            "restore as zeros, not fresh init)", path, arr.shape[0],
+            tshape[0])
+    out = np.zeros(tshape, arr.dtype)
+    out[:n] = arr[:n]
+    return out
 
 
 def _load_entry(path: Path, e: dict, target_sharding=None):
@@ -373,7 +465,7 @@ def load_checkpoint(path, target: Any, model_config=None,
             arr = _load_entry(path, e,
                               (shardings or {}).get(p))
             if tuple(arr.shape) != tuple(np.shape(t)):
-                conv = _convert_layout(arr, np.shape(t))
+                conv = _convert_layout(arr, np.shape(t), p)
                 if conv is None:
                     raise ValueError(
                         f"checkpoint leaf {p!r} shape {arr.shape} != model "

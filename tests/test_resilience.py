@@ -207,6 +207,28 @@ def test_layout_conversion_rejects_genuine_skew(tmp_path):
                                   "acc": jnp.zeros((120,))})  # not 32-padded
 
 
+def test_row_cut_refuses_trained_rows(tmp_path):
+    """The [V, D] pad-boundary branch only CUTS rows that are all zero
+    (shard padding). A checkpoint whose surplus rows carry trained data —
+    genuine vocab skew, invisible to the config check since vocab comes
+    from the data — must fail loudly instead of silently dropping them."""
+    import jax.numpy as jnp
+
+    trained = jnp.ones((104, 64))      # surplus rows NON-zero
+    CK.save_checkpoint(tmp_path / "bad", {"item_emb": trained},
+                       global_step=1)
+    with pytest.raises(ValueError, match="NOT all zero"):
+        CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "bad"),
+                           {"item_emb": jnp.zeros((100, 64))})
+
+    # zero surplus rows (real shard padding) still convert fine
+    padded = jnp.concatenate([jnp.ones((100, 64)), jnp.zeros((4, 64))])
+    CK.save_checkpoint(tmp_path / "ok", {"item_emb": padded}, global_step=1)
+    got, _ = CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "ok"),
+                                {"item_emb": jnp.zeros((100, 64))})
+    assert (np.asarray(got["item_emb"]) == 1).all()
+
+
 def test_supervisor_gives_up_after_max_restarts(small_setup, tmp_path):
     model, cfg, loader, tables, tx, step = _setup(small_setup)
     template = init_state(model, tx, cfg.train.seed)
