@@ -569,6 +569,46 @@ def init_state(model: SeqRecModel, tx, seed: int,
                       step=jnp.zeros((), jnp.int32))
 
 
+#: Dense-table row count above which training on a mixed mesh (model/seq/
+#: pipe > 1) is flagged: the explicit EP all-to-all only covers data-only
+#: meshes (models/baseline._ep_override), so XLA default SPMD all-reduces
+#: the FULL dense table gradient — measured 268 MB/step at 1M x 64 rows
+#: (26.8 GB at 100M; benchmarks/ep_ab.py).
+BIGTABLE_WARN_ROWS = 1_000_000
+
+
+def _warn_dense_bigtable_mixed_mesh(params, cfg: Config, mesh) -> None:
+    """VERDICT r3 item 6: nothing used to warn when a dense (non-sparse)
+    big table landed on a mesh where ``_ep_override`` declines (any of
+    model/seq/pipe > 1) and the table gradient rides XLA default SPMD's
+    full all-reduce. Loud warning with the two fixes."""
+    import warnings
+
+    from ..ops.sparse_table import GatheredRows, is_packed
+
+    if mesh is None or all(mesh.shape.get(a, 1) == 1
+                           for a in ("model", "seq", "pipe")):
+        return
+    sparse = set(getattr(cfg.train, "sparse_tables", ()) or ())
+    for name in ("item_emb", "user_emb"):
+        tbl = params.get(name)
+        if tbl is None or name in sparse:
+            continue
+        if isinstance(tbl, GatheredRows) or is_packed(tbl):
+            continue
+        rows = int(tbl.shape[0])
+        if rows >= BIGTABLE_WARN_ROWS:
+            warnings.warn(
+                f"dense table '{name}' ({rows} rows) trains on a mixed mesh "
+                f"{dict(mesh.shape)}: the explicit EP all-to-all only covers "
+                "data-only meshes, so XLA default SPMD will all-reduce the "
+                f"full dense gradient (~{rows * cfg.model.hidden_units * 4 / 2**20:.0f} MB"
+                "/step measured at 1M rows — benchmarks/ep_ab.py). Add "
+                f"'{name}' to train.sparse_tables (host-planned gather-train) "
+                "or move the run to a data-only mesh.",
+                stacklevel=3)
+
+
 def setup_training(model: SeqRecModel, cfg: Config, tables: Dict[str, Any],
                    mesh=None, state: Optional[TrainState] = None):
     """Build (state, train_step, eval_step, tables, put_batch) for either the
@@ -596,6 +636,7 @@ def setup_training(model: SeqRecModel, cfg: Config, tables: Dict[str, Any],
         tx = make_optimizer(cfg)
         state = PT.shard_existing_state(mesh, state)
     tables = PT.shard_tables(mesh, tables)
+    _warn_dense_bigtable_mixed_mesh(state.params, cfg, mesh)
     train_step = PT.make_sharded_train_step(model, tx, cfg, mesh)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
     return (state, train_step, eval_step, tables,
