@@ -110,6 +110,12 @@ class TrainConfig:
     # (model.py:115-117). Supports "item_emb" and "user_emb" (user_emb
     # rides the unpacked gather path — it stays [U+1, D] at init).
     sparse_tables: Tuple[str, ...] = ()
+    # Per-shard touched-row capacity headroom for MESH-sharded packed tables
+    # (ops/sparse_table.shard_capacity). Ownership is contiguous-range
+    # (uid // rows_per_shard), so recency/popularity-clustered id layouts can
+    # concentrate a batch's touched rows on one shard; host_shard_plan
+    # crashes loudly (never drops rows) pointing back at this knob.
+    sparse_shard_slack: float = 1.35
     # "rowwise_adagrad" (production: 4 bytes/row of state, 231 ms/step at
     # 10M rows on v5e) | "lazy_adam" (SparseAdam semantics, exactly matches
     # dense Adam where they overlap — but XLA's staged moment copies make it

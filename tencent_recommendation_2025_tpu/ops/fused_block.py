@@ -79,6 +79,30 @@ from .hstu_attention import (BLK, MASK_NEG, _bias_tiles,
 # vector registers, the same failure mode as the chunked kernel's 512 block
 FB_BLK = BLK
 
+# --- chunked variant (L > FB_WHOLESEQ_MAX) -------------------------------
+# The whole-seq kernels materialize [4D, L] / [2F, L] f32 intermediates;
+# at L=2048 the backward needs 20.7 MB of scoped VMEM (probed on v5e,
+# 2026-08-19) against the 16 MB limit — and in-kernel PYTHON chunk loops do
+# NOT fix it (Mosaic stack allocation does not reliably reuse slots across
+# unrolled iterations: a fully chunk-looped single backward kernel still
+# needed 21-22 MB, and even the attention stripe loop alone needed 18 MB —
+# probed 2026-08-20). So beyond FB_WHOLESEQ_MAX every loop becomes a GRID
+# dimension across a pipeline of pallas_calls staging through HBM:
+#   fwd:  pre (B, nc) -> attention (B, n_qb, n_kb) -> post (B, nc)
+#   bwd:  gate/FFN (B, nc) -> dq (B, n_qb, n_kb) + dk/dv (B, n_kb, n_qb)
+#         -> projection/LN1 (B, nc)
+# The attention stages mirror ops/hstu_attention's chunked-KV grid design
+# (above-diagonal tiles skipped via pl.when, dynamic rel-pos tile slot) in
+# the TRANSPOSED layout. Staging q/k/v + stage-boundary grads through HBM
+# costs ~1 GB of traffic per block backward at B=128/L=2048 (~1 ms at v5e
+# HBM bandwidth) against a provably chunk-sized Mosaic stack per kernel.
+# Numerics contract (f32 elementwise, bf16 matmul operands, PRNG dropout)
+# is identical to the whole-seq kernels.
+FB_WHOLESEQ_MAX = 1024   # whole-seq kernel ceiling (== hstu MAX_WHOLESEQ_L)
+FB_CHUNK = 512           # L-chunk width for the projection/FFN grid stages
+FB_ATTN_BLK = 256        # attention tile width for the gridded stages
+MAX_CHUNKED_L = 4096     # probed ceiling for the chunked variant on v5e
+
 _EPS = 1e-8  # models/embedding.layernorm default
 
 
@@ -199,6 +223,20 @@ def _attn_bwd_stripes_t(qt, kt, vt, davt, kvn, tilest_ref, dtilest_ref,
                 dtilest_ref[h, slot] += dst[kb * blk:(kb + 1) * blk, :]
         dqt_cols.append(jnp.concatenate(dqts, axis=0) * scale)
     return jnp.concatenate(dqt_cols, axis=1)
+
+
+def _chunk_mask_t(qb, kb, valid_ref, blk):
+    """[k, q]-indexed multiplicative mask for one (qb, kb) tile: causal
+    (global q position >= global k position) AND key-not-padding. qb/kb are
+    TRACED grid ids — the chunked attention kernels run block coordinates as
+    grid dims (an unrolled in-kernel loop does not bound the Mosaic stack;
+    see the FB_CHUNK comment)."""
+    ik = kb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    iq = qb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    kv_ok = valid_ref[0] != 0                             # [blk, 1] column
+    return jnp.logical_and(iq >= ik, kv_ok).astype(jnp.float32)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +403,323 @@ def _bwd_kernel(seed_ref, xt_ref, valid_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
 
 
 # ---------------------------------------------------------------------------
+# chunked kernels (L > FB_WHOLESEQ_MAX): same operands/outputs as the
+# whole-seq kernels, VMEM bounded ~flat in L (see the module docstring of
+# the FB_CHUNK constants)
+# ---------------------------------------------------------------------------
+
+def _proj_chunk(xt_ref, csl, lnt_ref, wuvqk_ref, buvqkt_ref, cdt, *,
+                u_rows=None):
+    """LN1 + uvqk projection + silu for one L-chunk. ``u_rows``: compute
+    only the first ``u_rows`` output rows (the u gate — a quarter matmul
+    for the backward's recompute). Returns (uvqk_f32, h1, xhat1, rstd1)."""
+    f32 = jnp.float32
+    xf = xt_ref[0, :, csl].astype(f32)
+    h1, xhat1, rstd1 = _ln_fwd_t(xf, lnt_ref[:, 0:1], lnt_ref[:, 1:2])
+    w = wuvqk_ref[:, 0:u_rows] if u_rows is not None else wuvqk_ref[...]
+    b = (buvqkt_ref[0:u_rows, 0:1] if u_rows is not None
+         else buvqkt_ref[:, 0:1])
+    uvqk = jax.nn.silu(_dot(w, h1.astype(cdt), ((0,), (0,))) + b)
+    return uvqk, h1, xhat1, rstd1
+
+
+def _fwd_pre_kernel_chunk(seed_ref, xt_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
+                          qt_ref, kt_ref, vt_ref, ut_ref, *, seq_len, scale,
+                          chunk):
+    """Chunked forward stage 1, grid (B, n_chunks): LN1 + uvqk projection +
+    silu for one L-chunk; q (pre-scaled), k, v (1/L-scaled) and the u gate
+    staged to HBM for the attention and post stages."""
+    cdt = xt_ref.dtype
+    D = xt_ref.shape[1]
+    uvqk, _, _, _ = _proj_chunk(xt_ref, slice(0, chunk), lnt_ref, wuvqk_ref,
+                                buvqkt_ref, cdt)
+    ut_ref[0] = uvqk[:D]
+    vt_ref[0] = (uvqk[D:2 * D] * (1.0 / seq_len)).astype(cdt)
+    qt_ref[0] = (uvqk[2 * D:3 * D] * scale).astype(cdt)
+    kt_ref[0] = uvqk[3 * D:].astype(cdt)
+
+
+def _fwd_attn_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, valid_ref,
+                           tilest_ref, avt_ref, acc_ref, *, n_tiles,
+                           num_heads, n_k_blocks):
+    """Chunked forward stage 2, grid (B, n_qb, n_kb) — transposed analog of
+    ops/hstu_attention._fwd_kernel_chunk: VMEM flat in L, above-diagonal
+    tiles skipped via pl.when, rel-pos bias via a DYNAMIC tile slot
+    (tilest_ref[h, slot] — static h reduces the ref to 3-D, whose leading
+    dim supports dynamic indexing)."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb <= qb)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        blk = tilest_ref.shape[-1]
+        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,)))
+            st = st + tilest_ref[h, slot]
+            at = (jax.nn.silu(st) * m).astype(cdt)
+            acc_ref[sl] += _dot(vt_ref[0, sl], at, ((1,), (0,)))
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        avt_ref[0] = acc_ref[...].astype(avt_ref.dtype)
+
+
+def _fwd_post_kernel_chunk(seed_ref, xt_ref, avt_ref, ut_ref, lnt_ref,
+                           wo_ref, bot_ref, w13_ref, w2_ref, outt_ref, *,
+                           rate, train, chunk, n_chunks):
+    """Chunked forward stage 3, grid (B, n_chunks): LN2 gate + out-proj +
+    residual + LN3 + SwiGLU FFN + residual for one L-chunk. Dropout masks
+    come from the in-kernel PRNG seeded per (batch row, site, chunk) — the
+    backward gate stage reseeds identically."""
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    cdt = xt_ref.dtype
+    drop = train and rate > 0.0
+    av = avt_ref[0].astype(f32)
+    g, _, _ = _ln_fwd_t(av, lnt_ref[:, 2:3], lnt_ref[:, 3:4])
+    g = g * ut_ref[0]
+    if drop:
+        pltpu.prng_seed(seed_ref[0], 2 * b * n_chunks + c)
+        g = g * _keep_mask(g.shape, rate)
+    yt = xt_ref[0].astype(f32) + _dot(wo_ref[...], g.astype(cdt),
+                                      ((0,), (0,))) + bot_ref[:, 0:1]
+    h2, _, _ = _ln_fwd_t(yt, lnt_ref[:, 4:5], lnt_ref[:, 5:6])
+    x13 = _dot(w13_ref[...], h2.astype(cdt), ((0,), (0,)))
+    F = x13.shape[0] // 2
+    f = jax.nn.silu(x13[:F]) * x13[F:]
+    if drop:
+        pltpu.prng_seed(seed_ref[0], (2 * b + 1) * n_chunks + c)
+        f = f * _keep_mask(f.shape, rate)
+    outt_ref[0] = (yt + _dot(w2_ref[...], f.astype(cdt),
+                             ((0,), (0,)))).astype(outt_ref.dtype)
+
+
+def _bwd_dq_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, davt_ref,
+                         valid_ref, tilest_ref, dqt_ref, dtilest_ref,
+                         dq_acc, *, n_tiles, num_heads, n_k_blocks, scale):
+    """Chunked attention backward, q-major pass (grid (B, n_qb, n_kb)):
+    dq^T per q block + TRANSPOSED bias-tile grads, S recomputed per tile
+    (the standard flash-bwd decomposition, transposed)."""
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(qb == 0, kb == 0)))
+    def _():
+        dtilest_ref[...] = jnp.zeros_like(dtilest_ref)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(kb <= qb)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        blk = tilest_ref.shape[-1]
+        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
+                + tilest_ref[h, slot]
+            dot_b = davt_ref[0, sl].astype(cdt)           # [hd, blk_q]
+            dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
+            dst = dat * _dsilu(st) * m                    # [blk_k, blk_q]
+            dq_acc[sl] += _dot(kt_ref[0, sl], dst.astype(cdt), ((1,), (0,)))
+            dtilest_ref[h, slot] += dst
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        dqt_ref[0] = (dq_acc[...] * scale).astype(dqt_ref.dtype)
+
+
+def _bwd_dkdv_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, davt_ref,
+                           valid_ref, tilest_ref, dkt_ref, dvt_ref,
+                           dk_acc, dv_acc, *, n_tiles, num_heads,
+                           n_q_blocks):
+    """Chunked attention backward, k-major pass (grid (B, n_kb, n_qb)):
+    dk^T/dv^T per k block."""
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(qb >= kb)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        blk = tilest_ref.shape[-1]
+        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        slot = jnp.clip(qb - kb, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
+                + tilest_ref[h, slot]
+            dot_b = davt_ref[0, sl].astype(cdt)           # [hd, blk_q]
+            at = (jax.nn.silu(st) * m).astype(cdt)
+            dv_acc[sl] += _dot(dot_b, at, ((1,), (1,)))   # [hd, blk_k]
+            dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
+            dst = (dat * _dsilu(st) * m).astype(cdt)
+            dk_acc[sl] += _dot(qt_ref[0, sl], dst, ((1,), (1,)))
+
+    @pl.when(qb == n_q_blocks - 1)
+    def _():
+        dkt_ref[0] = dk_acc[...].astype(dkt_ref.dtype)
+        dvt_ref[0] = dv_acc[...].astype(dvt_ref.dtype)
+
+
+
+def _bwd_gate_kernel_chunk(seed_ref, xt_ref, avt_ref, doutt_ref, lnt_ref,
+                           wuvqk_ref, buvqkt_ref, wo_ref, bot_ref, w13_ref,
+                           w2_ref,
+                           qt_ref, kt_ref, vt_ref, davt_ref, dyt_ref,
+                           dut_ref, dlnt25_ref, dwo_ref, dbot_ref, dw13_ref,
+                           dw2_ref, *,
+                           seq_len, num_heads, scale, rate, train, chunk,
+                           n_chunks):
+    """Backward stage 1, grid (B, n_chunks) — ONE chunk per grid step so the
+    Mosaic stack never holds more than one chunk\'s transients (the single
+    whole-row kernel needed 21-22 MB scoped VMEM at L=2048 regardless of
+    chunk size — probed on v5e 2026-08-20 — so the chunk loop must be a
+    GRID dim, not an unrolled python loop).
+
+    Recomputes the projection for its chunk (q/k/v staged to HBM for stage
+    2), then runs the gate + out-proj + FFN forward recompute and their
+    backward: emits dyt (residual grad into stage 3), dut (u-gate grad),
+    davt (attention-output grad into stage 2), and accumulates the
+    gate/FFN-side weight grads (wo, bo, w13, w2, LN2/LN3 — ``dlnt25``)."""
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    cdt = xt_ref.dtype
+    D = xt_ref.shape[1]
+    drop = train and rate > 0.0
+    nc = n_chunks
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _():
+        dlnt25_ref[...] = jnp.zeros_like(dlnt25_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbot_ref[...] = jnp.zeros_like(dbot_ref)
+        dw13_ref[...] = jnp.zeros_like(dw13_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    csl = slice(0, chunk)
+    uvqk, _, _, _ = _proj_chunk(xt_ref, csl, lnt_ref, wuvqk_ref,
+                                buvqkt_ref, cdt)
+    u = uvqk[:D]
+    qt_ref[0] = (uvqk[2 * D:3 * D] * scale).astype(cdt)
+    kt_ref[0] = uvqk[3 * D:].astype(cdt)
+    vt_ref[0] = (uvqk[D:2 * D] * (1.0 / seq_len)).astype(cdt)
+
+    av = avt_ref[0].astype(f32)
+    av_ln, xhat2, rstd2 = _ln_fwd_t(av, lnt_ref[:, 2:3], lnt_ref[:, 3:4])
+    g = av_ln * u
+    keep1 = keep2 = None
+    if drop:
+        pltpu.prng_seed(seed_ref[0], 2 * b * nc + c)
+        keep1 = _keep_mask(g.shape, rate)
+        g = g * keep1
+    gt16 = g.astype(cdt)
+    yt = xt_ref[0].astype(f32) + _dot(wo_ref[...], gt16, ((0,), (0,))) \
+        + bot_ref[:, 0:1]
+    h2, xhat3, rstd3 = _ln_fwd_t(yt, lnt_ref[:, 4:5], lnt_ref[:, 5:6])
+    h2t_16 = h2.astype(cdt)
+    x13 = _dot(w13_ref[...], h2t_16, ((0,), (0,)))
+    F = x13.shape[0] // 2
+    x1, x3 = x13[:F], x13[F:]
+    silu_x1 = jax.nn.silu(x1)
+    f = silu_x1 * x3
+    if drop:
+        pltpu.prng_seed(seed_ref[0], (2 * b + 1) * nc + c)
+        keep2 = _keep_mask(f.shape, rate)
+        f = f * keep2
+    ft16 = f.astype(cdt)
+
+    doutt = doutt_ref[0].astype(f32)
+    doutt16 = doutt.astype(cdt)
+    dw2_ref[...] += _dot(ft16, doutt16, ((1,), (1,)))
+    dft = _dot(w2_ref[...], doutt16, ((1,), (0,)))
+    if drop:
+        dft = dft * keep2
+    dx1 = dft * x3 * _dsilu(x1)
+    dx3 = dft * silu_x1
+    dx13 = jnp.concatenate([dx1, dx3], axis=0).astype(cdt)
+    dw13_ref[...] += _dot(h2t_16, dx13, ((1,), (1,)))
+    dh2t = _dot(w13_ref[...], dx13, ((1,), (0,)))
+    dy_ln, dg_c, db_c = _ln_bwd_t(dh2t, xhat3, rstd3, lnt_ref[:, 4:5])
+    dlnt25_ref[:, 2:3] += dg_c
+    dlnt25_ref[:, 3:4] += db_c
+    dyt = doutt + dy_ln
+    dyt_ref[0] = dyt
+
+    dyt16 = dyt.astype(cdt)
+    dwo_ref[...] += _dot(gt16, dyt16, ((1,), (1,)))
+    dbot_ref[:, 0:1] += jnp.sum(dyt, axis=1, keepdims=True)
+    dgt = _dot(wo_ref[...], dyt16, ((1,), (0,)))
+    if drop:
+        dgt = dgt * keep1
+    dut_ref[0] = dgt * av_ln
+    dav_ln = dgt * u
+    davt, dg_c, db_c = _ln_bwd_t(dav_ln, xhat2, rstd2, lnt_ref[:, 2:3])
+    dlnt25_ref[:, 0:1] += dg_c
+    dlnt25_ref[:, 1:2] += db_c
+    davt_ref[0] = davt
+
+
+def _bwd_proj_kernel_chunk(seed_ref, xt_ref, dyt_ref, dut_ref, dqt_ref,
+                           dkt_ref, dvt_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
+                           dxt_ref, dlnt01_ref, dwuvqk_ref, dbuvqkt_ref, *,
+                           seq_len, chunk):
+    """Backward stage 3, grid (B, n_chunks): chain the parked dq/dk/dv/du
+    through silu(uvqk) and LN1, accumulate dwuvqk/dbuvqk/LN1 grads, emit
+    dx = dyt (residual) + LN1 backward."""
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    cdt = xt_ref.dtype
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _():
+        dlnt01_ref[...] = jnp.zeros_like(dlnt01_ref)
+        dwuvqk_ref[...] = jnp.zeros_like(dwuvqk_ref)
+        dbuvqkt_ref[...] = jnp.zeros_like(dbuvqkt_ref)
+
+    xf = xt_ref[0].astype(f32)
+    h1, xhat1, rstd1 = _ln_fwd_t(xf, lnt_ref[:, 0:1], lnt_ref[:, 1:2])
+    h1t_16 = h1.astype(cdt)
+    uvqk_pre = _dot(wuvqk_ref[...], h1t_16, ((0,), (0,))) + buvqkt_ref[:, 0:1]
+    duvqk = jnp.concatenate(
+        [dut_ref[0], dvt_ref[0] * (1.0 / seq_len), dqt_ref[0], dkt_ref[0]],
+        axis=0) * _dsilu(uvqk_pre)
+    duvqk16 = duvqk.astype(cdt)
+    dwuvqk_ref[...] += _dot(h1t_16, duvqk16, ((1,), (1,)))
+    dbuvqkt_ref[:, 0:1] += jnp.sum(duvqk, axis=1, keepdims=True)
+    dh1t = _dot(wuvqk_ref[...], duvqk16, ((1,), (0,)))
+    dx_ln, dg_c, db_c = _ln_bwd_t(dh1t, xhat1, rstd1, lnt_ref[:, 0:1])
+    dlnt01_ref[:, 0:1] += dg_c
+    dlnt01_ref[:, 1:2] += db_c
+    dxt_ref[0] = (dyt_ref[0] + dx_ln).astype(dxt_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing + custom VJP
 # ---------------------------------------------------------------------------
 
@@ -403,34 +758,123 @@ def _fused_block_core(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
     return out
 
 
-def _tiles_t(rab):
+def _tiles_t(rab, blk: int = FB_BLK):
     """Pre-transposed bias tiles ([k, q]-indexed per tile) for the
     transposed stripe loops. Tiny differentiable XLA precompute."""
-    return _bias_tiles(rab, FB_BLK, causal_diag=True).transpose(0, 1, 3, 2)
+    return _bias_tiles(rab, blk, causal_diag=True).transpose(0, 1, 3, 2)
+
+
+def _attn_blk(L: int) -> int:
+    """Attention tile width for the chunked (gridded) kernels: FB_ATTN_BLK
+    when it divides L (4x fewer grid steps than FB_BLK), else FB_BLK."""
+    return FB_ATTN_BLK if L % FB_ATTN_BLK == 0 else FB_BLK
+
+
+def _cblk(D, CH):
+    """[1, D, CH] L-chunk block on a (B, n_chunks) grid."""
+    return pl.BlockSpec((1, D, CH), lambda b, c, s: (b, 0, c))
+
+
+def _cfull(shape):
+    """Whole-array block revisited on a (B, n_chunks) grid."""
+    return pl.BlockSpec(shape, lambda b, c, s: tuple(0 for _ in shape))
 
 
 def _fused_fwd_call(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
                     seed1, num_heads, rate, train, interpret):
     B, D, L = xt.shape
     F = w2.shape[0]
+    hd = D // num_heads
+    if L > FB_WHOLESEQ_MAX:
+        return _fwd_call_chunk(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot,
+                               w13, w2, seed1, num_heads, rate, train,
+                               interpret)
     tilest = _tiles_t(rab)
     H, nt = tilest.shape[0], tilest.shape[1]
+    kw = dict(seq_len=L, n_tiles=nt, num_heads=num_heads,
+              n_blocks=L // FB_BLK, scale=hd ** -0.5, rate=rate, train=train)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
         in_specs=_specs(L, D, F, H, nt),
         out_specs=[_batch((1, D, L)), _batch((1, D, L))],
         scratch_shapes=[pltpu.VMEM((D, L), jnp.float32)],
     )
-    hd = D // num_heads
     out, avt = pl.pallas_call(
-        functools.partial(_fwd_kernel, seq_len=L, n_tiles=nt,
-                          num_heads=num_heads, n_blocks=L // FB_BLK,
-                          scale=hd ** -0.5, rate=rate, train=train),
+        functools.partial(_fwd_kernel, **kw),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, D, L), xt.dtype),
                    jax.ShapeDtypeStruct((B, D, L), xt.dtype)],
         interpret=interpret,
     )(seed1, xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13, w2, tilest)
+    return out, avt
+
+
+def _fwd_call_chunk(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
+                    seed1, num_heads, rate, train, interpret):
+    """Three-stage chunked forward (see the FB_CHUNK comment)."""
+    B, D, L = xt.shape
+    F = w2.shape[0]
+    hd = D // num_heads
+    cdt = xt.dtype
+    f32 = jnp.float32
+    CH = FB_CHUNK
+    nc = L // CH
+    blk = _attn_blk(L)
+    nqb = L // blk
+    tilest = _tiles_t(rab, blk)
+    H, nt = tilest.shape[0], tilest.shape[1]
+
+    gs_pre = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH), _cfull((D, 6)), _cfull((D, 4 * D)),
+                  _cfull((4 * D, 1))],
+        out_specs=[_cblk(D, CH)] * 4,
+    )
+    qt, kt, vt, ut = pl.pallas_call(
+        functools.partial(_fwd_pre_kernel_chunk, seq_len=L,
+                          scale=hd ** -0.5, chunk=CH),
+        grid_spec=gs_pre,
+        out_shape=[jax.ShapeDtypeStruct((B, D, L), cdt)] * 3
+        + [jax.ShapeDtypeStruct((B, D, L), f32)],
+        interpret=interpret,
+    )(seed1, xt, lnt, wuvqk, buvqkt)
+
+    gs_attn = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nqb, nqb),
+        in_specs=[
+            pl.BlockSpec((1, D, blk), lambda b, qb, kb, s: (b, 0, qb)),  # q
+            pl.BlockSpec((1, D, blk), lambda b, qb, kb, s: (b, 0, kb)),  # k
+            pl.BlockSpec((1, D, blk), lambda b, qb, kb, s: (b, 0, kb)),  # v
+            pl.BlockSpec((1, blk, 1), lambda b, qb, kb, s: (b, kb, 0)),
+            pl.BlockSpec((H, nt, blk, blk),
+                         lambda b, qb, kb, s: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, D, blk),
+                               lambda b, qb, kb, s: (b, 0, qb)),
+        scratch_shapes=[pltpu.VMEM((D, blk), f32)],
+    )
+    avt = pl.pallas_call(
+        functools.partial(_fwd_attn_kernel_chunk, n_tiles=nt,
+                          num_heads=num_heads, n_k_blocks=nqb),
+        grid_spec=gs_attn,
+        out_shape=jax.ShapeDtypeStruct((B, D, L), cdt),
+        interpret=interpret,
+    )(seed1, qt, kt, vt, valid3, tilest)
+
+    gs_post = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH), _cblk(D, CH), _cblk(D, CH),
+                  _cfull((D, 6)), _cfull((D, D)), _cfull((D, 1)),
+                  _cfull((D, 2 * F)), _cfull((F, D))],
+        out_specs=_cblk(D, CH),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_post_kernel_chunk, rate=rate, train=train,
+                          chunk=CH, n_chunks=nc),
+        grid_spec=gs_post,
+        out_shape=jax.ShapeDtypeStruct((B, D, L), cdt),
+        interpret=interpret,
+    )(seed1, xt, avt, ut, lnt, wo, bot, w13, w2)
     return out, avt
 
 
@@ -443,16 +887,161 @@ def _core_fwd(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
                  seed1, avt)
 
 
+def _bwd_call_chunk(xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
+                    seed1, avt, dout, tilest, num_heads, rate, train,
+                    interpret):
+    """Three-stage chunked backward (L > FB_WHOLESEQ_MAX): gate/FFN per
+    (batch, chunk) grid step, attention stripes per batch row, projection/
+    LN1 per (batch, chunk). q/k/v and the stage-boundary grads ride HBM
+    ([B, D, L] staging arrays, ~0.5 GB at B=128/L=2048 — freed after use);
+    the payoff is a provably chunk-sized Mosaic stack per kernel."""
+    B, D, L = xt.shape
+    F = w2.shape[0]
+    H, nt = tilest.shape[0], tilest.shape[1]
+    hd = D // num_heads
+    CH = FB_CHUNK
+    nc = L // CH
+    f32 = jnp.float32
+    cdt = xt.dtype
+
+    def cblk():
+        return pl.BlockSpec((1, D, CH), lambda b, c, s: (b, 0, c))
+
+    def full2(shape):
+        return pl.BlockSpec(shape, lambda b, c, s: tuple(0 for _ in shape))
+
+    gs1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[cblk(), cblk(), cblk(),            # x, av, dout
+                  full2((D, 6)), full2((D, 4 * D)), full2((4 * D, 1)),
+                  full2((D, D)), full2((D, 1)), full2((D, 2 * F)),
+                  full2((F, D))],
+        out_specs=[cblk()] * 6 + [full2((D, 4)), full2((D, D)),
+                                  full2((D, 1)), full2((D, 2 * F)),
+                                  full2((F, D))],
+    )
+    outs1 = pl.pallas_call(
+        functools.partial(_bwd_gate_kernel_chunk, seq_len=L,
+                          num_heads=num_heads, scale=hd ** -0.5, rate=rate,
+                          train=train, chunk=CH, n_chunks=nc),
+        grid_spec=gs1,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, L), cdt),    # q^T (scaled)
+            jax.ShapeDtypeStruct((B, D, L), cdt),    # k^T
+            jax.ShapeDtypeStruct((B, D, L), cdt),    # v^T (1/L-scaled)
+            jax.ShapeDtypeStruct((B, D, L), f32),    # dav^T
+            jax.ShapeDtypeStruct((B, D, L), f32),    # dy^T
+            jax.ShapeDtypeStruct((B, D, L), f32),    # du^T
+            jax.ShapeDtypeStruct((D, 4), f32),       # dlnt cols 2..5
+            jax.ShapeDtypeStruct((D, D), f32),       # dwo
+            jax.ShapeDtypeStruct((D, 1), f32),       # dbo^T
+            jax.ShapeDtypeStruct((D, 2 * F), f32),   # dw13
+            jax.ShapeDtypeStruct((F, D), f32),       # dw2
+        ],
+        interpret=interpret,
+    )(seed1, xt, avt, dout, lnt, wuvqk, buvqkt, wo, bot, w13, w2)
+    qt, kt, vt, davt, dyt, dut, dlnt25, dwo, dbot, dw13, dw2 = outs1
+
+    blk = tilest.shape[-1]
+    nqb = L // blk
+
+    def qmaj(which):
+        return pl.BlockSpec((1, D, blk),
+                            (lambda b, qb, kb, s: (b, 0, qb)) if which == "q"
+                            else (lambda b, qb, kb, s: (b, 0, kb)))
+
+    gs_dq = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nqb, nqb),
+        in_specs=[qmaj("q"), qmaj("k"), qmaj("k"), qmaj("q"),  # q k v dav
+                  pl.BlockSpec((1, blk, 1), lambda b, qb, kb, s: (b, kb, 0)),
+                  pl.BlockSpec((H, nt, blk, blk),
+                               lambda b, qb, kb, s: (0, 0, 0, 0))],
+        out_specs=[qmaj("q"),
+                   pl.BlockSpec((H, nt, blk, blk),
+                                lambda b, qb, kb, s: (0, 0, 0, 0))],
+        scratch_shapes=[pltpu.VMEM((D, blk), f32)],
+    )
+    dqt, dtilest = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_chunk, n_tiles=nt,
+                          num_heads=num_heads, n_k_blocks=nqb,
+                          scale=hd ** -0.5),
+        grid_spec=gs_dq,
+        out_shape=[jax.ShapeDtypeStruct((B, D, L), f32),
+                   jax.ShapeDtypeStruct((H, nt, blk, blk), f32)],
+        interpret=interpret,
+    )(seed1, qt, kt, vt, davt, valid3, tilest)
+
+    def kmaj(which):
+        return pl.BlockSpec((1, D, blk),
+                            (lambda b, kb, qb, s: (b, 0, qb)) if which == "q"
+                            else (lambda b, kb, qb, s: (b, 0, kb)))
+
+    gs_dkdv = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nqb, nqb),
+        in_specs=[kmaj("q"), kmaj("k"), kmaj("k"), kmaj("q"),  # q k v dav
+                  pl.BlockSpec((1, blk, 1), lambda b, kb, qb, s: (b, kb, 0)),
+                  pl.BlockSpec((H, nt, blk, blk),
+                               lambda b, kb, qb, s: (0, 0, 0, 0))],
+        out_specs=[kmaj("k"), kmaj("k")],
+        scratch_shapes=[pltpu.VMEM((D, blk), f32),
+                        pltpu.VMEM((D, blk), f32)],
+    )
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel_chunk, n_tiles=nt,
+                          num_heads=num_heads, n_q_blocks=nqb),
+        grid_spec=gs_dkdv,
+        out_shape=[jax.ShapeDtypeStruct((B, D, L), f32),
+                   jax.ShapeDtypeStruct((B, D, L), f32)],
+        interpret=interpret,
+    )(seed1, qt, kt, vt, davt, valid3, tilest)
+
+    gs3 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[cblk()] * 6 + [full2((D, 6)), full2((D, 4 * D)),
+                                 full2((4 * D, 1))],
+        out_specs=[cblk(), full2((D, 2)), full2((D, 4 * D)),
+                   full2((4 * D, 1))],
+    )
+    outs3 = pl.pallas_call(
+        functools.partial(_bwd_proj_kernel_chunk, seq_len=L, chunk=CH),
+        grid_spec=gs3,
+        out_shape=[jax.ShapeDtypeStruct((B, D, L), cdt),
+                   jax.ShapeDtypeStruct((D, 2), f32),
+                   jax.ShapeDtypeStruct((D, 4 * D), f32),
+                   jax.ShapeDtypeStruct((4 * D, 1), f32)],
+        interpret=interpret,
+    )(seed1, xt, dyt, dut, dqt, dkt, dvt, lnt, wuvqk, buvqkt)
+    dxt, dlnt01, dwuvqk, dbuvqkt = outs3
+    dlnt = jnp.concatenate([dlnt01, dlnt25], axis=1)
+    return (dxt, dlnt, dwuvqk, dbuvqkt, dwo, dbot, dw13, dw2, dtilest)
+
+
 def _core_bwd(num_heads, rate, train, interpret, res, dout):
     xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seed1, avt = res
     B, D, L = xt.shape
     F = w2.shape[0]
+    hd = D // num_heads
+    if L > FB_WHOLESEQ_MAX:
+        tilest = _tiles_t(rab, _attn_blk(L))
+        outs = _bwd_call_chunk(xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13,
+                               w2, seed1, avt, dout, tilest, num_heads,
+                               rate, train, interpret)
+        dxt, dlnt, dwuvqk, dbuvqkt, dwo, dbot, dw13, dw2, dtilest = outs
+        drab = _bias_tiles_transpose(dtilest.transpose(0, 1, 3, 2),
+                                     rab.shape[1])
+        return (dxt, None, drab, dlnt, dwuvqk, dbuvqkt, dwo, dbot, dw13,
+                dw2, None)
     tilest = _tiles_t(rab)
     H, nt = tilest.shape[0], tilest.shape[1]
     in_specs = _specs(L, D, F, H, nt) + [
         _batch((1, D, L)),                                       # av^T
         _batch((1, D, L)),                                       # dout^T
     ]
+    kw = dict(seq_len=L, n_tiles=nt, num_heads=num_heads,
+              n_blocks=L // FB_BLK, scale=hd ** -0.5, rate=rate, train=train)
+    kernel = functools.partial(_bwd_kernel, **kw)
+    scratch = [pltpu.VMEM((D, L), jnp.float32),
+               pltpu.VMEM((D, L), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B,),
         in_specs=in_specs,
@@ -462,14 +1051,10 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
             _full((D, D)), _full((D, 1)), _full((D, 2 * F)),
             _full((F, D)), _full((H, nt, FB_BLK, FB_BLK)),
         ],
-        scratch_shapes=[pltpu.VMEM((D, L), jnp.float32),
-                        pltpu.VMEM((D, L), jnp.float32)],
+        scratch_shapes=scratch,
     )
-    hd = D // num_heads
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, seq_len=L, n_tiles=nt,
-                          num_heads=num_heads, n_blocks=L // FB_BLK,
-                          scale=hd ** -0.5, rate=rate, train=train),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, D, L), xt.dtype),
@@ -498,16 +1083,17 @@ _fused_block_core.defvjp(_core_fwd, _core_bwd)
 def fused_block_supported(cfg, L: int, backend: str) -> bool:
     """Static gate for the fused whole-block kernel (mirrors the shape rules
     of models/encoder.make_attention_cores)."""
-    from .hstu_attention import MAX_WHOLESEQ_L, _n_near
+    from .hstu_attention import _n_near
     if not (getattr(cfg, "fused_block", False) and backend == "tpu"):
         return False
     if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
         return False
-    # L=2048 probed on v5e (2026-08-19): Mosaic compile fails reproducibly
-    # (the whole-seq residents — uvqk [L, 4D], x13 [L, 2F], stripes —
-    # overflow VMEM); longer sequences run the chunked attention kernel +
-    # XLA elementwise instead
-    if not (256 <= L <= MAX_WHOLESEQ_L and L % FB_BLK == 0):
+    # L <= FB_WHOLESEQ_MAX runs the whole-seq kernels; beyond that, the
+    # chunked kernels (VMEM ~flat in L) up to the probed MAX_CHUNKED_L
+    if not (256 <= L and L % FB_BLK == 0):
+        return False
+    if L > FB_WHOLESEQ_MAX and not (L <= MAX_CHUNKED_L
+                                    and L % FB_CHUNK == 0):
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
         return False

@@ -736,7 +736,11 @@ def host_shard_plan(uids_np, vocab_rows: int, group_rows: int,
         if n > Kp:
             raise ValueError(
                 f"table shard {s} touched {n} rows > per-shard capacity "
-                f"{Kp}; raise shard_capacity slack")
+                f"{Kp}. Shard ownership is contiguous-range "
+                f"(uid // rows_per_shard), so id layouts that cluster hot "
+                f"rows into one range can exceed the uniform-spread "
+                f"headroom — raise train.sparse_shard_slack by at least "
+                f"{n / max(Kp, 1):.2f}x its current value (default 1.35)")
         lu = (uids[sel] - s * rps).astype(np.int32)
         lids[s, :n] = lu
         gpos[s, :n] = sel

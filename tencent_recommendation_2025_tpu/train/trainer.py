@@ -324,7 +324,8 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
             R = ST.scatter_group_rows(cfg.model.table_dtype,
                                       cfg.model.hidden_units)
             cap = ST.shard_capacity(sparse_touch_capacity(cfg, name),
-                                    n_table_shards)
+                                    n_table_shards,
+                                    slack=cfg.train.sparse_shard_slack)
             plan = ST.host_shard_plan(uids, vocab, R, n_table_shards, cap)
             for k, v in plan.items():
                 out[f"tshard_{k}{sfx}"] = v

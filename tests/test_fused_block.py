@@ -133,7 +133,11 @@ def test_supported_gate():
     cfg = _cfg(D=64, H=1)
     assert FB.fused_block_supported(cfg, 1024, "tpu")
     assert not FB.fused_block_supported(cfg, 1024, "cpu")
-    assert not FB.fused_block_supported(cfg, 2048, "tpu")   # > whole-seq cap
+    # > whole-seq cap: the chunked kernels take over up to MAX_CHUNKED_L
+    assert FB.fused_block_supported(cfg, 2048, "tpu")
+    assert FB.fused_block_supported(cfg, 4096, "tpu")
+    assert not FB.fused_block_supported(cfg, 8192, "tpu")   # > chunked cap
+    assert not FB.fused_block_supported(cfg, 2176, "tpu")   # not /FB_CHUNK
     assert not FB.fused_block_supported(cfg, 100, "tpu")    # not /128
     import dataclasses
     assert not FB.fused_block_supported(
@@ -142,3 +146,87 @@ def test_supported_gate():
         dataclasses.replace(cfg, block_type="mha"), 1024, "tpu")
     assert not FB.fused_block_supported(
         dataclasses.replace(cfg, fused_block=False), 1024, "tpu")
+
+
+# ---------------------------------------------------------------------------
+# chunked variant (L > FB_WHOLESEQ_MAX): shrink the chunk/whole-seq knobs so
+# interpret mode exercises the real multi-chunk, multi-far-segment schedule
+# at test-sized shapes
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def small_chunk(monkeypatch):
+    monkeypatch.setattr(FB, "FB_WHOLESEQ_MAX", 256)
+    monkeypatch.setattr(FB, "FB_CHUNK", 256)
+    monkeypatch.setattr(FB, "MAX_CHUNKED_L", 1024)
+    # 128-wide attention tiles: L=512 -> a 4x4 (qb, kb) grid, so the
+    # causal skip, the dynamic rel-pos tile slot, AND the saturated far
+    # slot (qb - kb >= n_tiles - 1) all execute
+    monkeypatch.setattr(FB, "FB_ATTN_BLK", 128)
+
+
+def test_chunked_forward_matches_block_oracle(small_chunk):
+    cfg, params, x, tt = _setup(B=2, L=512, D=16, H=2)
+    out = FB.fused_hstu_block(x, params, tt, jnp.int32(0), cfg.num_heads,
+                              interpret=True)
+    ref = _oracle_block(params, x, tt, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_gradients_match_block_oracle(small_chunk):
+    cfg, params, x, tt = _setup(B=1, L=512, D=16, H=2, seed=5)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal(x.shape), jnp.float32)
+
+    def f_fused(x, params):
+        out = FB.fused_hstu_block(x, params, tt, jnp.int32(0),
+                                  cfg.num_heads, interpret=True)
+        return (out * cot).sum()
+
+    def f_oracle(x, params):
+        return (_oracle_block(params, x, tt, cfg) * cot).sum()
+
+    gx_f, gp_f = jax.grad(f_fused, argnums=(0, 1))(x, params)
+    gx_o, gp_o = jax.grad(f_oracle, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o),
+                               rtol=2e-4, atol=2e-5, err_msg="dx")
+    flat_f = jax.tree.leaves_with_path(gp_f)
+    flat_o = dict(jax.tree.leaves_with_path(gp_o))
+    assert flat_f, "empty grad tree"
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_o[path]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))
+
+
+def test_chunked_matches_wholeseq_kernel(small_chunk, monkeypatch):
+    """The chunked schedule computes the same math as the whole-seq kernel
+    up to f32 accumulation order (the far/near segment split re-associates
+    the stripe dots; measured max-abs diff 6.6e-7 at this shape)."""
+    cfg, params, x, tt = _setup(B=2, L=512, D=16, H=2, seed=17)
+    out_c = FB.fused_hstu_block(x, params, tt, jnp.int32(0), cfg.num_heads,
+                                interpret=True)
+    monkeypatch.setattr(FB, "FB_WHOLESEQ_MAX", 1024)   # whole-seq path
+    out_w = FB.fused_hstu_block(x, params, tt, jnp.int32(0), cfg.num_heads,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_w),
+                               rtol=1e-4, atol=5e-6)
+
+
+def test_chunked_dropout_determinism(small_chunk):
+    cfg, params, x, tt = _setup(B=2, L=512, D=16, H=2, seed=13)
+    try:
+        out1 = FB.fused_hstu_block(x, params, tt, jnp.int32(42),
+                                   cfg.num_heads, dropout_rate=0.5,
+                                   train=True, interpret=True)
+    except Exception as e:  # pragma: no cover - interpret-mode PRNG gap
+        pytest.skip(f"in-kernel PRNG unsupported in interpret mode: {e}")
+    out_same = FB.fused_hstu_block(x, params, tt, jnp.int32(42),
+                                   cfg.num_heads, dropout_rate=0.5,
+                                   train=True, interpret=True)
+    out_diff = FB.fused_hstu_block(x, params, tt, jnp.int32(43),
+                                   cfg.num_heads, dropout_rate=0.5,
+                                   train=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out_same))
+    assert not np.allclose(np.asarray(out1), np.asarray(out_diff))

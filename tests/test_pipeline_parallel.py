@@ -131,3 +131,44 @@ def test_encoder_pipe_mesh_matches_single(small_setup):
                      cfg, train=False, mesh=mesh, pp_microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@requires_8
+def test_encoder_pipe_mesh_fused_block(monkeypatch):
+    """pipe=2 with the FUSED whole-block kernel inside each stage == the
+    dense single-device path (VERDICT r3 item 2: the fused block used to
+    turn off whenever pipe > 1). The gate is monkeypatched open so the
+    kernel runs in interpret mode on the fake CPU mesh."""
+    from tencent_recommendation_2025_tpu.config import ModelConfig
+    from tencent_recommendation_2025_tpu.models import encoder as ENC
+    from tencent_recommendation_2025_tpu.ops import fused_block as FB
+
+    cfg = ModelConfig(hidden_units=16, num_heads=2, num_blocks=2,
+                      maxlen=255, block_type="hstu", ffn_type="swiglu",
+                      hstu_rel_pos_buckets=128, dtype="float32",
+                      dropout_rate=0.0, reference_init=False)
+    params = ENC.init_encoder_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    B, L, D = 4, 256, cfg.hidden_units
+    pos = jnp.asarray(rng.standard_normal((L + 1, D)) * 0.1, jnp.float32)
+    fused_emb = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    seq_ids = jnp.asarray(rng.integers(1, 50, (B, L)), jnp.int32)
+    tt = np.ones((B, L), np.int32)
+    tt[0, :9] = 0
+    tt = jnp.asarray(tt)
+
+    ref = ENC.encode(params, fused_emb, seq_ids, tt, pos, cfg, train=False)
+
+    calls = []
+    real_gate = FB.fused_block_supported
+    monkeypatch.setattr(
+        FB, "fused_block_supported",
+        lambda c, l, backend: calls.append(l) or True)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                ("data", "pipe"))
+    out = ENC.encode(params, fused_emb, seq_ids, tt, pos, cfg, train=False,
+                     mesh=mesh, pp_microbatches=2)
+    assert calls, "pp path never consulted the fused gate"
+    assert not real_gate(cfg, L, "cpu")   # off-TPU stays off un-patched
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
