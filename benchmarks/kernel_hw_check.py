@@ -150,6 +150,12 @@ def main():
                       dtype=jnp.bfloat16)
     check_fused_block("fused_block_L256_H4_bf16", B=2, L=256, D=64, H=4,
                       dtype=jnp.bfloat16)
+    # round-4 CHUNKED variant (L > FB_WHOLESEQ_MAX routes the staged
+    # grid-dim pipeline — fwd pre/attn/post, bwd gate/dq/dkdv/proj)
+    check_fused_block("fused_block_chunked_L2048_f32", B=2, L=2048, D=64,
+                      H=1, dtype=jnp.float32)
+    check_fused_block("fused_block_chunked_L2048_bf16", B=2, L=2048, D=64,
+                      H=1, dtype=jnp.bfloat16)
 
     # 5) in-kernel dropout PRNG: deterministic per seed, distinct across
     # seeds, backward regenerates the identical mask (grad of a linear

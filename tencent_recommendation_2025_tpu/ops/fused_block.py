@@ -100,7 +100,8 @@ FB_BLK = BLK
 # is identical to the whole-seq kernels.
 FB_WHOLESEQ_MAX = 1024   # whole-seq kernel ceiling (== hstu MAX_WHOLESEQ_L)
 FB_CHUNK = 512           # L-chunk width for the projection/FFN grid stages
-FB_ATTN_BLK = 256        # attention tile width for the gridded stages
+FB_ATTN_BLK = 256        # attention tile width, forward stage
+FB_ATTN_BLK_BWD = 512    # attention tile width, backward dq/dkdv passes
 MAX_CHUNKED_L = 4096     # probed ceiling for the chunked variant on v5e
 
 _EPS = 1e-8  # models/embedding.layernorm default
@@ -225,16 +226,15 @@ def _attn_bwd_stripes_t(qt, kt, vt, davt, kvn, tilest_ref, dtilest_ref,
     return jnp.concatenate(dqt_cols, axis=1)
 
 
-def _chunk_mask_t(qb, kb, valid_ref, blk):
-    """[k, q]-indexed multiplicative mask for one (qb, kb) tile: causal
-    (global q position >= global k position) AND key-not-padding. qb/kb are
-    TRACED grid ids — the chunked attention kernels run block coordinates as
-    grid dims (an unrolled in-kernel loop does not bound the Mosaic stack;
-    see the FB_CHUNK comment)."""
-    ik = kb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-    iq = qb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-    kv_ok = valid_ref[0] != 0                             # [blk, 1] column
-    return jnp.logical_and(iq >= ik, kv_ok).astype(jnp.float32)
+def _kvn_col(valid_ref):
+    """Additive key-padding column for one k block: 0 valid / MASK_NEG
+    padded ([blk, 1] f32 — one broadcast add per tile instead of a ~7-pass
+    iota mask build+multiply; silu/dsilu(-1e4) == 0 exactly in f32).
+    Causality needs no per-tile mask: blocks strictly below the diagonal
+    are fully visible, kb > qb is skipped by pl.when, and the DIAGONAL
+    (qb == kb) resolves to tile slot 0, whose causal upper triangle is
+    pre-folded as MASK_NEG by _bias_tiles(causal_diag=True)."""
+    return jnp.where(valid_ref[0] != 0, 0.0, MASK_NEG)
 
 
 
@@ -459,14 +459,13 @@ def _fwd_attn_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, valid_ref,
         cdt = qt_ref.dtype
         D = qt_ref.shape[1]
         hd = D // num_heads
-        blk = tilest_ref.shape[-1]
-        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        kvn = _kvn_col(valid_ref)
         slot = jnp.clip(qb - kb, 0, n_tiles - 1)
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,)))
-            st = st + tilest_ref[h, slot]
-            at = (jax.nn.silu(st) * m).astype(cdt)
+            st = st + (tilest_ref[h, slot] + kvn)
+            at = jax.nn.silu(st).astype(cdt)
             acc_ref[sl] += _dot(vt_ref[0, sl], at, ((1,), (0,)))
 
     @pl.when(kb == n_k_blocks - 1)
@@ -528,16 +527,15 @@ def _bwd_dq_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, davt_ref,
         cdt = qt_ref.dtype
         D = qt_ref.shape[1]
         hd = D // num_heads
-        blk = tilest_ref.shape[-1]
-        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        kvn = _kvn_col(valid_ref)
         slot = jnp.clip(qb - kb, 0, n_tiles - 1)
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
-                + tilest_ref[h, slot]
+                + (tilest_ref[h, slot] + kvn)
             dot_b = davt_ref[0, sl].astype(cdt)           # [hd, blk_q]
             dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
-            dst = dat * _dsilu(st) * m                    # [blk_k, blk_q]
+            dst = dat * _dsilu(st)                        # [blk_k, blk_q]
             dq_acc[sl] += _dot(kt_ref[0, sl], dst.astype(cdt), ((1,), (0,)))
             dtilest_ref[h, slot] += dst
 
@@ -565,18 +563,17 @@ def _bwd_dkdv_kernel_chunk(seed_ref, qt_ref, kt_ref, vt_ref, davt_ref,
         cdt = qt_ref.dtype
         D = qt_ref.shape[1]
         hd = D // num_heads
-        blk = tilest_ref.shape[-1]
-        m = _chunk_mask_t(qb, kb, valid_ref, blk)
+        kvn = _kvn_col(valid_ref)
         slot = jnp.clip(qb - kb, 0, n_tiles - 1)
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
-                + tilest_ref[h, slot]
+                + (tilest_ref[h, slot] + kvn)
             dot_b = davt_ref[0, sl].astype(cdt)           # [hd, blk_q]
-            at = (jax.nn.silu(st) * m).astype(cdt)
+            at = jax.nn.silu(st).astype(cdt)
             dv_acc[sl] += _dot(dot_b, at, ((1,), (1,)))   # [hd, blk_k]
             dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
-            dst = (dat * _dsilu(st) * m).astype(cdt)
+            dst = (dat * _dsilu(st)).astype(cdt)
             dk_acc[sl] += _dot(qt_ref[0, sl], dst, ((1,), (1,)))
 
     @pl.when(qb == n_q_blocks - 1)
@@ -764,10 +761,18 @@ def _tiles_t(rab, blk: int = FB_BLK):
     return _bias_tiles(rab, blk, causal_diag=True).transpose(0, 1, 3, 2)
 
 
-def _attn_blk(L: int) -> int:
-    """Attention tile width for the chunked (gridded) kernels: FB_ATTN_BLK
-    when it divides L (4x fewer grid steps than FB_BLK), else FB_BLK."""
-    return FB_ATTN_BLK if L % FB_ATTN_BLK == 0 else FB_BLK
+def _attn_blk(L: int, bwd: bool = False) -> int:
+    """Attention tile width for the chunked (gridded) kernels. Directions
+    tune independently (each builds its own bias tiles): A/B on v5e at
+    B=128/L=2048 measured fwd 7.2 ms @256 vs 8.2 @512 (the [blk, blk] silu
+    pass dominates fwd and 512 spills), but bwd 8.2 ms @512 vs 13.3 @256
+    (two recompute passes amortize the per-step overhead better at 512).
+    Falls back toward FB_BLK when the preferred width doesn't divide L."""
+    for blk in ((FB_ATTN_BLK_BWD, FB_ATTN_BLK, FB_BLK) if bwd
+                else (FB_ATTN_BLK, FB_BLK)):
+        if L % blk == 0:
+            return blk
+    return FB_BLK
 
 
 def _cblk(D, CH):
@@ -1022,7 +1027,7 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
     F = w2.shape[0]
     hd = D // num_heads
     if L > FB_WHOLESEQ_MAX:
-        tilest = _tiles_t(rab, _attn_blk(L))
+        tilest = _tiles_t(rab, _attn_blk(L, bwd=True))
         outs = _bwd_call_chunk(xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13,
                                w2, seed1, avt, dout, tilest, num_heads,
                                rate, train, interpret)

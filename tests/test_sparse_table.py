@@ -641,10 +641,11 @@ def test_host_shard_plan_contract():
     assert ss0[0, 0] == 0 and ss0[0, 5] == 1
     nGl = rps // R
     assert (plan["groups"][0][:2] < nGl).all()
-    # overflow raises rather than dropping rows
-    with pytest.raises(ValueError, match="capacity"):
-        ST.host_shard_plan(np.zeros((cap + 1,), np.int64) if False else
-                           np.arange(cap + 1, dtype=np.int64), V, R, 1, cap)
+    # overflow raises rather than dropping rows, and the message points at
+    # the config knob (ownership is contiguous-range, so clustered id
+    # layouts can overload one shard — ADVICE r3)
+    with pytest.raises(ValueError, match="train.sparse_shard_slack"):
+        ST.host_shard_plan(np.arange(cap + 1, dtype=np.int64), V, R, 1, cap)
 
 
 def test_host_group_plan_contract():
