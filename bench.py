@@ -67,13 +67,34 @@ def main():
     from tencent_recommendation_2025_tpu.parallel import train as PT
     from tencent_recommendation_2025_tpu.config import MeshConfig
 
+    import os
+
     B, L = 128, 1024
     cfg, schema, fused, model = G._make_synthetic_setup(
         maxlen=L - 1, hidden=64, num_blocks=8, num_heads=1,
         block_type="hstu", itemnum=100_000, usernum=10_000)
     rng = np.random.default_rng(0)
-    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum)
-    tables = G._make_tables(rng, model.itemnum, schema)
+    tables, tables_np = G._make_tables(rng, model.itemnum, schema,
+                                       with_np=True)
+    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum,
+                          tables_np=tables_np)
+    if os.environ.get("BENCH_TOWER_DEDUP", "1") != "0" and \
+            jax.device_count() == 1:
+        # tower dedup (trainer.augment_batch_dedup): the product fast path —
+        # one item tower per unique candidate id, host-planned spreads
+        import dataclasses
+        import types
+
+        from tencent_recommendation_2025_tpu.train.trainer import (
+            augment_batch_dedup)
+
+        dcfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=B, tower_dedup=True))
+        cfg = dcfg
+        batch = augment_batch_dedup(
+            batch, dcfg, types.SimpleNamespace(sparse=tables_np["sparse"],
+                                               array=tables_np["array"]),
+            model.itemnum)
 
     mesh = M.build_mesh(MeshConfig(data=jax.device_count(), model=1, seq=1))
     state, tx = PT.init_sharded_state(model, cfg, mesh)

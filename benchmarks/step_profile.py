@@ -86,9 +86,27 @@ def main():
         maxlen=L - 1, hidden=64, num_blocks=8, num_heads=H,
         block_type="hstu", itemnum=100_000, usernum=10_000)
     rng = np.random.default_rng(0)
-    batch = jax.device_put(G._make_batch(rng, B, L, schema, model.itemnum,
-                                         model.usernum))
-    tables = G._make_tables(rng, model.itemnum, schema)
+    tables, tables_np = G._make_tables(rng, model.itemnum, schema,
+                                       with_np=True)
+    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum,
+                          tables_np=tables_np)
+    import os
+
+    if os.environ.get("STEP_PROFILE_DEDUP", "0") == "1":
+        # profile the tower-dedup product path (flagship preset default)
+        import dataclasses
+        import types
+
+        from tencent_recommendation_2025_tpu.train.trainer import (
+            augment_batch_dedup)
+
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=B, tower_dedup=True))
+        batch = augment_batch_dedup(
+            batch, cfg, types.SimpleNamespace(sparse=tables_np["sparse"],
+                                              array=tables_np["array"]),
+            model.itemnum)
+    batch = jax.device_put(batch)
     tx = make_optimizer(cfg)
     state = init_state(model, tx, cfg.train.seed, cfg=cfg)
     key = jax.random.key(0)
@@ -144,19 +162,29 @@ def main():
 
     results["encoder_fwd"] = timeit(encoder_fwd, (params, batch))
 
-    # ---- towers (pos+neg item tower, the non-encoder half of forward) ----
-    @jax.jit
-    def towers_fwd(params, batch):
-        neg_sparse = jnp.take(tables["sparse"], batch["neg"], axis=0,
-                              mode="clip")
-        neg_array = jnp.take(tables["array"], batch["neg"], axis=0,
-                             mode="clip")
-        ids = jnp.concatenate([batch["pos"], batch["neg"]], axis=0)
-        sparse = jnp.concatenate([batch["pos_item_sparse"], neg_sparse],
-                                 axis=0)
-        array = jnp.concatenate([batch["pos_item_array"], neg_array], axis=0)
-        return model.item_embeddings(params, ids, sparse, array,
-                                     tables["mm"]).sum()
+    # ---- towers (the candidate-tower half of forward) ----
+    if "dedup_uids" in batch:
+        @jax.jit
+        def towers_fwd(params, batch):
+            it_seq, pos_last, negs = model.dedup_spreads(params, batch,
+                                                         tables["mm"])
+            return (it_seq.astype(jnp.float32).sum()
+                    + pos_last.astype(jnp.float32).sum()
+                    + negs.astype(jnp.float32).sum())
+    else:
+        @jax.jit
+        def towers_fwd(params, batch):
+            neg_sparse = jnp.take(tables["sparse"], batch["neg"], axis=0,
+                                  mode="clip")
+            neg_array = jnp.take(tables["array"], batch["neg"], axis=0,
+                                 mode="clip")
+            ids = jnp.concatenate([batch["pos"], batch["neg"]], axis=0)
+            sparse = jnp.concatenate([batch["pos_item_sparse"], neg_sparse],
+                                     axis=0)
+            array = jnp.concatenate([batch["pos_item_array"], neg_array],
+                                    axis=0)
+            return model.item_embeddings(params, ids, sparse, array,
+                                         tables["mm"]).sum()
 
     results["towers_fwd"] = timeit(towers_fwd, (params, batch))
 

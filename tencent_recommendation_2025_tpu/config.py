@@ -100,6 +100,22 @@ class TrainConfig:
     # positives' tower outputs, so the marginal cost is one [B*L, N] matmul.
     # 0 = shared-uniform only.
     num_inbatch_negatives: int = 0
+    # Tower dedup (trainer.augment_batch_dedup): run the item tower ONCE per
+    # unique id in the step's candidate stream (seq item tokens + final
+    # positives + negatives) and spread outputs back by a host-planned,
+    # scatter-free gather (ops/sparse_table.planned_lookup). EXACT — item
+    # features are a function of the item id (data/featurizer.ItemFeature
+    # Tables; the reference looks features up per id too,
+    # model/BaseLine/dataset.py:130-160) — and cuts tower matmuls + one-hot
+    # feature backwards to O(unique ids). Single-device meshes only (the
+    # plan indexes a replicated tower; a sharded variant would need
+    # per-shard plans).
+    tower_dedup: bool = False
+    # Static unique-id capacity as a fraction of the candidate-stream length
+    # (already clamped to itemnum+2 — unique ids can't exceed the vocab).
+    # The host prep raises loudly (never truncates) if a batch's unique
+    # count exceeds it.
+    tower_dedup_cap_frac: float = 0.75
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10
     grad_log_every: int = 100
@@ -220,7 +236,13 @@ def hstu_flagship() -> Config:
             # costs more HBM traffic than recomputing them (measured
             # 723 -> 651 ex/s with remat off at B=128)
         ),
-        train=TrainConfig(batch_size=128, lr=5e-3, l2_emb=0.0, weight_decay=0.01),
+        train=TrainConfig(batch_size=128, lr=5e-3, l2_emb=0.0,
+                          weight_decay=0.01,
+                          # one item tower per unique candidate id (EXACT —
+                          # tests/test_tower_dedup.py); the single-chip
+                          # flagship fast path (multi-device meshes gate it
+                          # off with a warning)
+                          tower_dedup=True),
     )
 
 

@@ -105,18 +105,48 @@ class SeqRecModel:
                             item_emb_override=self._ep_override(params, ids,
                                                                 mesh))
 
+    def dedup_spreads(self, params: Mapping, batch: Mapping,
+                      mm_tables: Mapping[str, jnp.ndarray], mesh=None):
+        """Tower-dedup candidate embeddings (``train.tower_dedup``).
+
+        Runs the item tower ONCE on the batch's unique candidate ids
+        (``dedup_uids`` + features, host-gathered by
+        trainer.augment_batch_dedup) and spreads the [cap, D] outputs to
+        each consumer site by its host plan — forward a gather, backward
+        the scatter-free cumsum segment-sum (ops/sparse_table.
+        planned_lookup). Returns (it_seq [B, L, D], pos_last [B, 1, D],
+        negs [B, L, D] or [N, D] per loss type)."""
+        from ..ops.sparse_table import planned_lookup
+
+        tu = self.item_embeddings(
+            params, batch["dedup_uids"], batch["dedup_sparse"],
+            batch["dedup_array"], mm_tables, lookup_site="dedup", mesh=mesh)
+
+        def spread(site):
+            return planned_lookup(tu, batch[f"dedup_{site}_idx"],
+                                  batch[f"dedup_{site}_perm"],
+                                  batch[f"dedup_{site}_starts"],
+                                  batch[f"dedup_{site}_ends"])
+
+        return spread("seq"), spread("pos_last"), spread("negs")
+
     # ---- encoder (log2feats) ------------------------------------------
     def log2feats(self, params: Mapping, batch: Mapping,
                   mm_tables: Mapping[str, jnp.ndarray],
                   train: bool = False,
                   rng: Optional[jax.Array] = None, mesh=None,
                   pp_microbatches: int = 8,
-                  return_item_tower: bool = False):
-        seq_ids = jnp.where(batch["token_type"] == 1, batch["seq"], 0)
+                  return_item_tower: bool = False,
+                  item_tower_override: Optional[jnp.ndarray] = None):
+        if item_tower_override is None:
+            seq_ids = jnp.where(batch["token_type"] == 1, batch["seq"], 0)
+            ep = self._ep_override(params, seq_ids, mesh)
+        else:
+            ep = None   # the pre-computed tower already did its lookup
         fused_out = E.fuse_sequence(
             params, batch, mm_tables, self.fused, self.schema, self.cfg,
-            item_emb_override=self._ep_override(params, seq_ids, mesh),
-            return_item_tower=return_item_tower)
+            item_emb_override=ep, return_item_tower=return_item_tower,
+            item_tower_override=item_tower_override)
         fused_emb, it_seq = fused_out if return_item_tower \
             else (fused_out, None)
         enc_rng = None
@@ -151,6 +181,18 @@ class SeqRecModel:
         the reference's two separate full feat2emb passes,
         ``model.py:376-377``).
         """
+        if "dedup_uids" in batch:
+            # tower-dedup path (train.tower_dedup): one tower on the unique
+            # candidate ids serves the seq site, the positives (shifted), the
+            # final-target column, AND the negatives — spread by host plans
+            it_seq, pos_last, neg_embs = self.dedup_spreads(
+                params, batch, mm_tables, mesh=mesh)
+            log_feats = self.log2feats(
+                params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
+                pp_microbatches=pp_microbatches,
+                item_tower_override=it_seq)
+            pos_embs = jnp.concatenate([it_seq[:, 1:], pos_last], axis=1)
+            return log_feats, pos_embs, neg_embs
         log_feats, it_seq = self.log2feats(
             params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
             pp_microbatches=pp_microbatches, return_item_tower=True)

@@ -467,21 +467,30 @@ def fuse_sequence(params: Mapping, batch: Mapping, mm_tables: Mapping,
                   fused: FusedVocab, schema: FeatureSchema,
                   cfg: ModelConfig,
                   item_emb_override: Optional[jnp.ndarray] = None,
-                  return_item_tower: bool = False):
+                  return_item_tower: bool = False,
+                  item_tower_override: Optional[jnp.ndarray] = None):
     """The include_user=True fusion (reference model.py:302-310): run both
     towers on the full sequence and add them. Token disambiguation multiplies
     ids by the type mask before lookup (reference model.py:239-243).
     ``item_emb_override``: pre-gathered id embeddings for the item tokens
-    (the explicit EP lookup path — models/baseline._ep_override)."""
+    (the explicit EP lookup path — models/baseline._ep_override).
+    ``item_tower_override``: the WHOLE item tower pre-computed [B, L, D]
+    (the tower-dedup spread — models/baseline.dedup_spreads); the
+    per-position feature arrays are not touched in that case (the dedup'd
+    batch ships without them)."""
     seq = batch["seq"]
     tt = batch["token_type"]
-    item_ids = jnp.where(tt == 1, seq, 0)
     user_ids = jnp.where(tt == 2, seq, 0)
-    mm_vecs = gather_mm(mm_tables, item_ids, schema,
-                        dtype=jnp.dtype(cfg.dtype))
-    it = item_tower(params, item_ids, batch["seq_item_sparse"],
-                    batch["seq_item_array"], mm_vecs, fused, schema, cfg,
-                    lookup_site="seq", item_emb_override=item_emb_override)
+    if item_tower_override is not None:
+        it = item_tower_override.astype(jnp.dtype(cfg.dtype))
+    else:
+        item_ids = jnp.where(tt == 1, seq, 0)
+        mm_vecs = gather_mm(mm_tables, item_ids, schema,
+                            dtype=jnp.dtype(cfg.dtype))
+        it = item_tower(params, item_ids, batch["seq_item_sparse"],
+                        batch["seq_item_array"], mm_vecs, fused, schema, cfg,
+                        lookup_site="seq",
+                        item_emb_override=item_emb_override)
     # user tokens are SPARSE (the TencentGR layout carries ONE user-profile
     # record per sequence — reference dataset.py:115-121): run the user
     # tower on the first MAX_USER_TOKENS_PER_ROW gathered positions per row

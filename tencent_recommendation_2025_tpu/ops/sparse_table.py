@@ -71,7 +71,9 @@ def _pl_bwd(res, cot):
     c = jnp.concatenate([jnp.zeros((1, D), jnp.float32),
                          jnp.cumsum(x, axis=0)], axis=0)
     drows = jnp.take(c, ends, axis=0) - jnp.take(c, starts, axis=0)
-    return drows, None, None, None, None
+    # primal rows may be low-precision (bf16 tower outputs on the dedup
+    # path); custom_vjp cotangents must match the primal aval
+    return drows.astype(cot.dtype), None, None, None, None
 
 
 planned_lookup.defvjp(_pl_fwd, _pl_bwd)

@@ -149,7 +149,9 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     def spec(path, leaf):
         s = _path_str(path)
         if s.startswith(("touched_uids", "tshard_", "sparse_plans",
-                         "scatter_", "sampled_neg_ids")):
+                         "scatter_", "sampled_neg_ids", "dedup_")):
+            # dedup_* leaves index a REPLICATED [U, D] tower (tower dedup is
+            # gated to single-device meshes — trainer.augment_batch_dedup)
             return NamedSharding(mesh, P())
         if getattr(leaf, "ndim", 1) >= 2:
             return NamedSharding(mesh, P(("pipe", "data"), "seq"))

@@ -74,7 +74,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(sched, b1=t.adam_b1, b2=t.adam_b2)
 
 
-def analytic_step_flops(cfg: Config, model: SeqRecModel) -> float:
+def analytic_step_flops(cfg: Config, model: SeqRecModel,
+                        tower_dedup: Optional[bool] = None) -> float:
     """Matmul+attention FLOPs of one train step (fwd + ~2x bwd), analytic —
     bench.py's model re-derived without XLA cost analysis (unavailable in
     the loop). Elementwise excluded; feeds the Performance/mfu scalar."""
@@ -104,6 +105,12 @@ def analytic_step_flops(cfg: Config, model: SeqRecModel) -> float:
     item_tok = M + B  # seq tower + the final-target column
     item_tok += tc.num_sampled_negatives \
         if tc.loss_type == "sampled_softmax" else M
+    if tc.tower_dedup if tower_dedup is None else tower_dedup:
+        # tower dedup: ONE tower at the static unique capacity replaces the
+        # per-position towers (honest accounting — mfu must not credit work
+        # the dedup removed). Callers that gate dedup off (multi-device
+        # train_loop) pass tower_dedup=False.
+        item_tok = tower_dedup_capacity(cfg, model.itemnum)
     towers = 2 * item_tok * (itemdim + mm) * D \
         + 2 * B * (K + 1) * userdim * D
     return 3.0 * (blocks + towers)                   # bwd ≈ 2x fwd
@@ -158,26 +165,40 @@ def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         # positives reuse the seq item tower shifted by one (same trick as
         # baseline.forward: pos[idx] == seq[idx+1] with identical features;
         # only the final target column runs its own tower)
-        log_feats, it_seq = model.log2feats(
-            params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
-            pp_microbatches=ppm, return_item_tower=True)
-        pos_last = model.item_embeddings(
-            params, batch["pos"][:, -1:], batch["pos_item_sparse"][:, -1:],
-            batch["pos_item_array"][:, -1:], mm_tables,
-            lookup_site="pos_last", mesh=mesh)
+        if "dedup_uids" in batch:
+            # tower dedup: one tower serves seq/pos_last/negs (baseline.
+            # dedup_spreads); negatives were pre-sampled by the host prep
+            it_seq, pos_last, neg_embs = model.dedup_spreads(
+                params, batch, mm_tables, mesh=mesh)
+            log_feats = model.log2feats(
+                params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
+                pp_microbatches=ppm, item_tower_override=it_seq)
+            neg_ids = batch["sampled_neg_ids"]
+        else:
+            log_feats, it_seq = model.log2feats(
+                params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
+                pp_microbatches=ppm, return_item_tower=True)
+            pos_last = model.item_embeddings(
+                params, batch["pos"][:, -1:],
+                batch["pos_item_sparse"][:, -1:],
+                batch["pos_item_array"][:, -1:], mm_tables,
+                lookup_site="pos_last", mesh=mesh)
+            n = cfg.train.num_sampled_negatives
+            # the sparse-table step pre-samples negatives (their ids must
+            # join the touched-row dedup before the loss runs)
+            neg_ids = batch["sampled_neg_ids"] \
+                if "sampled_neg_ids" in batch \
+                else jax.random.randint(neg_rng, (n,), 1, model.itemnum + 1)
+            neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0,
+                                  mode="clip")
+            neg_array = jnp.take(item_tables["array"], neg_ids, axis=0,
+                                 mode="clip")
+            neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
+                                             neg_array, mm_tables,
+                                             lookup_site="negs")
+            # (negs stay on XLA SPMD: the sampled list is tiny, replicated)
         pos_embs = jnp.concatenate(
             [it_seq[:, 1:].astype(pos_last.dtype), pos_last], axis=1)
-        n = cfg.train.num_sampled_negatives
-        # the sparse-table step pre-samples negatives (their ids must join
-        # the touched-row dedup before the loss runs)
-        neg_ids = batch["sampled_neg_ids"] if "sampled_neg_ids" in batch \
-            else jax.random.randint(neg_rng, (n,), 1, model.itemnum + 1)
-        neg_sparse = jnp.take(item_tables["sparse"], neg_ids, axis=0, mode="clip")
-        neg_array = jnp.take(item_tables["array"], neg_ids, axis=0, mode="clip")
-        neg_embs = model.item_embeddings(params, neg_ids, neg_sparse,
-                                         neg_array, mm_tables,
-                                         lookup_site="negs")
-        # (negs stay on XLA SPMD: the sampled list is tiny and replicated)
         loss_mask = batch["next_token_type"] == 1
         if "sample_valid" in batch:
             loss_mask &= batch["sample_valid"][:, None] > 0
@@ -249,6 +270,86 @@ def sparse_touch_capacity(cfg: Config, name: str = "item_emb") -> int:
     if cfg.train.loss_type == "sampled_softmax":
         return n + cfg.train.num_sampled_negatives
     return n + cfg.train.batch_size * (cfg.model.maxlen + 1)
+
+
+def tower_dedup_capacity(cfg: Config, itemnum: int) -> int:
+    """Static unique-candidate capacity of the tower-dedup plan: a
+    ``tower_dedup_cap_frac`` fraction of the step's candidate-id stream
+    (seq item tokens + the final-positive column + negatives per loss type),
+    clamped to the vocabulary (unique ids can't exceed itemnum+1 values
+    incl. padding 0) and rounded up to a lane-friendly multiple of 8."""
+    B, L = cfg.train.batch_size, cfg.model.maxlen + 1
+    n = B * L + B
+    n += cfg.train.num_sampled_negatives \
+        if cfg.train.loss_type == "sampled_softmax" else B * L
+    cap = min(int(np.ceil(n * cfg.train.tower_dedup_cap_frac)), itemnum + 1)
+    return max(16, -(-cap // 8) * 8)
+
+
+def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
+                        step_key=None):
+    """HOST-side tower-dedup prep (``cfg.train.tower_dedup``), run in the
+    input pipeline where the prefetcher hides it.
+
+    Collects the step's candidate-item id stream — sequence item tokens, the
+    final-positive column (the other positives reuse the shifted seq tower,
+    models/baseline.forward), and the negatives — dedups it, gathers the
+    unique ids' features from the HOST feature tables
+    (data/featurizer.ItemFeatureTables — the id->features source of truth;
+    per-position batch copies are the same rows by construction), and ships
+    one ``planned_lookup`` spread plan per consumer site. The device then
+    runs ONE item tower at [cap] rows instead of three at [B, L] — both the
+    tower matmuls and the one-hot feature backwards scale with unique ids.
+
+    EXACT: spreading tower([cap] unique rows) by position reproduces the
+    per-position towers bit-for-bit in the forward (same inputs row-wise);
+    the backward accumulates each unique row's cotangent by the scatter-free
+    cumsum schedule instead of n_positions identical tower backwards.
+
+    Runs BEFORE augment_batch_sparse so the sparse prep can key its item_emb
+    lookup plan on ``dedup_uids`` (site "dedup"). Raises (never truncates)
+    when a batch's unique count exceeds the static capacity."""
+    from ..ops.sparse_table import build_lookup_plan
+
+    out = dict(batch)
+    if cfg.train.loss_type == "sampled_softmax" and \
+            "sampled_neg_ids" not in out:
+        # same sampling guard as augment_batch_sparse (which runs AFTER
+        # this and skips when the ids are already present)
+        r = np.random.default_rng(step_key)
+        out["sampled_neg_ids"] = r.integers(
+            1, itemnum + 1, cfg.train.num_sampled_negatives).astype(np.int32)
+    tt = np.asarray(out["token_type"])
+    seq_ids = np.where(tt == 1, np.asarray(out["seq"]), 0)
+    pos_last = np.asarray(out["pos"])[:, -1:]
+    negs = np.asarray(out["sampled_neg_ids"]
+                      if cfg.train.loss_type == "sampled_softmax"
+                      else out["neg"])
+    cap = tower_dedup_capacity(cfg, itemnum)
+    u = np.unique(np.concatenate([seq_ids.reshape(-1), pos_last.reshape(-1),
+                                  negs.reshape(-1)]))
+    if len(u) > cap:
+        raise ValueError(
+            f"tower-dedup: {len(u)} unique candidate ids exceed the static "
+            f"capacity {cap} — raise train.tower_dedup_cap_frac "
+            f"(= {cfg.train.tower_dedup_cap_frac}) or disable "
+            f"train.tower_dedup")
+    uids = np.full((cap,), itemnum + 1, np.int32)   # sentinel sorts last
+    uids[:len(u)] = u
+    out["dedup_uids"] = uids
+    safe = np.where(uids <= itemnum, uids, 0)        # sentinel -> zero row
+    out["dedup_sparse"] = item_feats.sparse[safe].astype(np.int32)
+    out["dedup_array"] = item_feats.array[safe].astype(np.int32)
+    for site, ids in (("seq", seq_ids), ("pos_last", pos_last),
+                      ("negs", negs)):
+        for k, v in build_lookup_plan(uids, ids).items():
+            out[f"dedup_{site}_{k}"] = v
+    # the per-position feature copies these plans replace are dead weight on
+    # the device path (the negatives' device-side feature gather goes too)
+    for k in ("seq_item_sparse", "seq_item_array",
+              "pos_item_sparse", "pos_item_array"):
+        out.pop(k, None)
+    return out
 
 
 def _sfx(name: str) -> str:
@@ -346,6 +447,10 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
             uk = np.take_along_axis(np.asarray(out["seq"]), posk, axis=1) \
                 * validk
             plans = {"user": build_lookup_plan(uids, uk)}
+        elif "dedup_uids" in out:
+            # tower dedup on: the ONLY item_emb lookup site is the dedup'd
+            # tower's id column (augment_batch_dedup runs first)
+            plans = {"dedup": build_lookup_plan(uids, out["dedup_uids"])}
         else:
             plans = {"seq": build_lookup_plan(
                 uids, np.where(out["token_type"] == 1, out["seq"], 0))}
@@ -683,7 +788,9 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # per step and serialize the pipeline (the reference syncs every step,
     # ``main.py:206``; on TPU that can dominate step time).
     pending = []  # (record-dict-without-loss, device metrics)
-    step_flops = analytic_step_flops(cfg, model)
+    step_flops = analytic_step_flops(
+        cfg, model, tower_dedup=cfg.train.tower_dedup and
+        (mesh is None or mesh.devices.size == 1))
     step_peak = device_peak_flops()
 
     def flush(epoch):
@@ -750,18 +857,35 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                   f"ETA {T.format_time(last_rec['estimated_remaining_time'])}")
         pending.clear()
 
+    dedup_on = cfg.train.tower_dedup and \
+        (mesh is None or mesh.devices.size == 1)
+    if cfg.train.tower_dedup and not dedup_on:
+        print("WARNING: train.tower_dedup is single-device only (the spread "
+              "plan indexes a replicated tower) — disabled on this "
+              f"{dict(mesh.shape)} mesh")
+
     def epoch_batches(epoch):
         it = train_loader.epoch(epoch)
-        if not cfg.train.sparse_tables:
+        if not (cfg.train.sparse_tables or dedup_on):
             return it
         from ..ops.sparse_table import mesh_table_shards
         n_shards = mesh_table_shards(mesh) if mesh is not None else 1
-        # host-side sparse prep (dedup + negatives) rides the prefetch thread
-        return (augment_batch_sparse(b, cfg, model.itemnum,
-                                     (cfg.train.seed, 97, epoch, i),
-                                     n_table_shards=n_shards,
-                                     usernum=model.usernum)
-                for i, b in enumerate(it))
+
+        def prep(b, i):
+            key = (cfg.train.seed, 97, epoch, i)
+            if dedup_on:
+                # FIRST: the sparse prep keys its item_emb plan on the
+                # dedup'd id column when present
+                b = augment_batch_dedup(b, cfg, item_tables, model.itemnum,
+                                        step_key=key)
+            if cfg.train.sparse_tables:
+                b = augment_batch_sparse(b, cfg, model.itemnum, key,
+                                         n_table_shards=n_shards,
+                                         usernum=model.usernum)
+            return b
+
+        # host-side prep (dedup + negatives) rides the prefetch thread
+        return (prep(b, i) for i, b in enumerate(it))
 
     for epoch in range(1, epochs + 1):
         for step, batch in enumerate(

@@ -1,0 +1,197 @@
+"""Tower dedup (``train.tower_dedup``): one item tower on the batch's unique
+candidate ids + host-planned spreads must reproduce the per-position towers
+EXACTLY — losses, gradients, and whole train steps. The reference runs three
+full per-position feat2emb passes per step
+(``model/BaseLine/model.py:352-384``); this path exists to beat that, so its
+contract is bit-level equivalence with the dense layout, not approximation.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tencent_recommendation_2025_tpu.train.trainer import (
+    augment_batch_dedup, augment_batch_sparse, compute_loss, device_tables,
+    init_state, make_optimizer, make_train_step, tower_dedup_capacity)
+
+
+def _one_batch(small_setup, cfg, seed=0):
+    from tencent_recommendation_2025_tpu.data.dataset import TrainSampler
+    from tencent_recommendation_2025_tpu.data.pipeline import (
+        TrainLoader, train_val_split)
+
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           small_setup["model"].cfg.maxlen)
+    tr, _ = train_val_split(len(sampler), 0.1, 0)
+    loader = TrainLoader(sampler, tr, cfg.train.batch_size, seed=seed)
+    return next(iter(loader.epoch(0)))
+
+
+def _cfgs(small_setup, **train_kw):
+    """(dense_cfg, dedup_cfg) over the same model; wd=l2=0 so steps match."""
+    base = small_setup["cfg"]
+    tr = dataclasses.replace(base.train, lr=1e-2, l2_emb=0.0,
+                             weight_decay=0.0, **train_kw)
+    return (base.replace(train=tr),
+            base.replace(train=dataclasses.replace(tr, tower_dedup=True)))
+
+
+def test_batch_features_are_id_functions(small_setup):
+    """The invariant the dedup path relies on (and the real pipeline holds by
+    construction): per-position item features in a batch equal the
+    ItemFeatureTables rows of their ids — features are a function of the
+    item id (reference ``dataset.py:130-160`` looks them up per id too)."""
+    dense_cfg, _ = _cfgs(small_setup)
+    batch = _one_batch(small_setup, dense_cfg)
+    t = small_setup["tables"]
+    item_ids = np.where(np.asarray(batch["token_type"]) == 1,
+                        np.asarray(batch["seq"]), 0)
+    np.testing.assert_array_equal(np.asarray(batch["seq_item_sparse"]),
+                                  t.sparse[item_ids])
+    np.testing.assert_array_equal(np.asarray(batch["seq_item_array"]),
+                                  t.array[item_ids])
+    pos = np.asarray(batch["pos"])
+    np.testing.assert_array_equal(np.asarray(batch["pos_item_sparse"]),
+                                  t.sparse[pos])
+    np.testing.assert_array_equal(np.asarray(batch["pos_item_array"]),
+                                  t.array[pos])
+
+
+def test_dedup_loss_and_grads_match_dense(small_setup):
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    params = model.init(jax.random.key(0))
+    batch = _one_batch(small_setup, dense_cfg)
+    aug = augment_batch_dedup(batch, dedup_cfg, small_setup["tables"],
+                              model.itemnum)
+    # the dedup'd batch ships WITHOUT the per-position feature copies
+    for k in ("seq_item_sparse", "seq_item_array", "pos_item_sparse",
+              "pos_item_array"):
+        assert k not in aug
+    for train, rng in ((False, None), (True, jax.random.key(3))):
+        def loss_of(b, cfg):
+            return lambda p: compute_loss(model, p, b, tables["mm"], tables,
+                                          cfg, train, rng)[0]
+        ld, gd = jax.value_and_grad(loss_of(batch, dense_cfg))(params)
+        lq, gq = jax.value_and_grad(loss_of(aug, dedup_cfg))(params)
+        assert float(ld) == pytest.approx(float(lq), rel=1e-6)
+        for (kp, dl), (_, ql) in zip(
+                jax.tree_util.tree_leaves_with_path(gd),
+                jax.tree_util.tree_leaves_with_path(gq)):
+            np.testing.assert_allclose(np.asarray(dl), np.asarray(ql),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(kp))
+
+
+def test_dedup_train_step_matches_dense(small_setup):
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, dense_cfg)
+    key = jax.random.key(7)
+
+    outs = {}
+    for name, cfg, b in (
+            ("dense", dense_cfg, batch),
+            ("dedup", dedup_cfg, augment_batch_dedup(
+                batch, dedup_cfg, small_setup["tables"], model.itemnum))):
+        tx = make_optimizer(cfg)
+        state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        step = make_train_step(model, tx, cfg)
+        state, metrics = step(state, jax.device_put(b), tables["mm"],
+                              tables, key)
+        outs[name] = (state, float(metrics["loss"]))
+    assert outs["dense"][1] == pytest.approx(outs["dedup"][1], rel=1e-6)
+    d, q = outs["dense"][0].params, outs["dedup"][0].params
+    for k in d:
+        for dl, ql in zip(jax.tree.leaves(d[k]), jax.tree.leaves(q[k])):
+            np.testing.assert_allclose(np.asarray(dl), np.asarray(ql),
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_dedup_sampled_softmax_matches(small_setup):
+    """Sampled-softmax + in-batch negatives path through dedup_spreads."""
+    dense_cfg, dedup_cfg = _cfgs(small_setup, loss_type="sampled_softmax",
+                                 num_sampled_negatives=16,
+                                 num_inbatch_negatives=8)
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    params = model.init(jax.random.key(0))
+    batch = _one_batch(small_setup, dense_cfg)
+    aug = augment_batch_dedup(batch, dedup_cfg, small_setup["tables"],
+                              model.itemnum, step_key=(0, 5))
+    # same negatives on the dense side (the dedup prep pre-samples them)
+    dense_batch = dict(batch, sampled_neg_ids=aug["sampled_neg_ids"])
+    rng = jax.random.key(11)
+
+    def loss_of(b, cfg):
+        return lambda p: compute_loss(model, p, b, tables["mm"], tables,
+                                      cfg, True, rng)[0]
+    ld, gd = jax.value_and_grad(loss_of(dense_batch, dense_cfg))(params)
+    lq, gq = jax.value_and_grad(loss_of(aug, dedup_cfg))(params)
+    assert float(ld) == pytest.approx(float(lq), rel=1e-6)
+    for dl, ql in zip(jax.tree.leaves(gd), jax.tree.leaves(gq)):
+        np.testing.assert_allclose(np.asarray(dl), np.asarray(ql),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_dedup_with_sparse_table_matches_dense(small_setup):
+    """tower_dedup composes with sparse item_emb training: the sparse prep
+    keys its lookup plan on the dedup'd id column (site 'dedup')."""
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    sparse_dedup_cfg = dedup_cfg.replace(train=dataclasses.replace(
+        dedup_cfg.train, sparse_tables=("item_emb",)))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, dense_cfg)
+    key = jax.random.key(7)
+
+    aug = augment_batch_dedup(batch, sparse_dedup_cfg,
+                              small_setup["tables"], model.itemnum)
+    aug = augment_batch_sparse(aug, sparse_dedup_cfg, model.itemnum, (0, 5))
+    assert "dedup" in aug["sparse_plans"]
+    assert set(aug["sparse_plans"]) == {"dedup"}
+
+    outs = {}
+    for name, cfg, b in (("dense", dense_cfg, batch),
+                         ("sparse+dedup", sparse_dedup_cfg, aug)):
+        tx = make_optimizer(cfg)
+        state = init_state(model, tx, cfg.train.seed, cfg=cfg)
+        step = make_train_step(model, tx, cfg)
+        state, metrics = step(state, jax.device_put(b), tables["mm"],
+                              tables, key)
+        outs[name] = (state, float(metrics["loss"]))
+    assert outs["dense"][1] == pytest.approx(outs["sparse+dedup"][1],
+                                             rel=1e-6)
+    d, q = outs["dense"][0].params, outs["sparse+dedup"][0].params
+    for k in d:
+        for dl, ql in zip(jax.tree.leaves(d[k]), jax.tree.leaves(q[k])):
+            np.testing.assert_allclose(np.asarray(dl), np.asarray(ql),
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_dedup_capacity_overflow_raises(small_setup):
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    tiny = dedup_cfg.replace(train=dataclasses.replace(
+        dedup_cfg.train, tower_dedup_cap_frac=1e-4))
+    batch = _one_batch(small_setup, dense_cfg)
+    with pytest.raises(ValueError, match="tower_dedup_cap_frac"):
+        augment_batch_dedup(batch, tiny, small_setup["tables"],
+                            small_setup["model"].itemnum)
+
+
+def test_tower_dedup_capacity_clamps():
+    from tencent_recommendation_2025_tpu.config import (Config, ModelConfig,
+                                                        TrainConfig)
+
+    cfg = Config(model=ModelConfig(maxlen=127),
+                 train=TrainConfig(batch_size=4, tower_dedup=True))
+    # stream = 2*B*L + B = 1028; frac 0.75 -> 771 -> rounded to 776
+    assert tower_dedup_capacity(cfg, itemnum=10**6) == 776
+    # vocab clamp: unique ids can't exceed itemnum+1
+    assert tower_dedup_capacity(cfg, itemnum=100) <= 104
+    assert tower_dedup_capacity(cfg, itemnum=100) % 8 == 0
