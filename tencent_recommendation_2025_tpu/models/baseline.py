@@ -115,18 +115,43 @@ class SeqRecModel:
         each consumer site by its host plan — forward a gather, backward
         the scatter-free cumsum segment-sum (ops/sparse_table.
         planned_lookup). Returns (it_seq [B, L, D], pos_last [B, 1, D],
-        negs [B, L, D] or [N, D] per loss type)."""
+        negs [B, L, D] or [N, D] per loss type).
+
+        STACKED mode (``dedup_uids`` [S, cap], pure data-parallel meshes):
+        the tower broadcasts over the shard dim (id-emb lookups ride the
+        explicit a2a, which shard_maps ids over ``data`` dim 0 already) and
+        the spreads vmap over it, so every gather/cumsum stays shard-local;
+        spread outputs merge the shard dim back into batch rows. Shared
+        sampled-softmax negatives have no stacked plan — ``negs`` returns
+        None and the caller towers them directly (trainer._compute_loss)."""
         from ..ops.sparse_table import planned_lookup
 
+        uids = batch["dedup_uids"]
+        stacked = uids.ndim == 2
         tu = self.item_embeddings(
-            params, batch["dedup_uids"], batch["dedup_sparse"],
+            params, uids, batch["dedup_sparse"],
             batch["dedup_array"], mm_tables, lookup_site="dedup", mesh=mesh)
 
+        def cons(x):
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = (("pipe", "data"),) + (None,) * (x.ndim - 1)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec)))
+
         def spread(site):
-            return planned_lookup(tu, batch[f"dedup_{site}_idx"],
-                                  batch[f"dedup_{site}_perm"],
-                                  batch[f"dedup_{site}_starts"],
-                                  batch[f"dedup_{site}_ends"])
+            if f"dedup_{site}_idx" not in batch:
+                return None
+            args = (batch[f"dedup_{site}_idx"],
+                    batch[f"dedup_{site}_perm"],
+                    batch[f"dedup_{site}_starts"],
+                    batch[f"dedup_{site}_ends"])
+            if not stacked:
+                return planned_lookup(tu, *args)
+            out = jax.vmap(planned_lookup)(tu, *args)   # [S, B/S, ..., D]
+            return cons(out.reshape((-1,) + out.shape[2:]))
 
         return spread("seq"), spread("pos_last"), spread("negs")
 

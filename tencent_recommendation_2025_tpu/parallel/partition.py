@@ -148,10 +148,15 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
 
     def spec(path, leaf):
         s = _path_str(path)
+        if s.startswith("dedup_") and mesh.shape.get("data", 1) > 1:
+            # STACKED tower-dedup plan ([S, cap...] / [S, site...] leaves,
+            # one column per data shard — trainer.augment_batch_dedup):
+            # shard the stack dim so the vmapped tower + spreads stay
+            # shard-local (models/baseline.dedup_spreads)
+            return NamedSharding(mesh, P(("pipe", "data")))
         if s.startswith(("touched_uids", "tshard_", "sparse_plans",
                          "scatter_", "sampled_neg_ids", "dedup_")):
-            # dedup_* leaves index a REPLICATED [U, D] tower (tower dedup is
-            # gated to single-device meshes — trainer.augment_batch_dedup)
+            # single-device dedup_* leaves index a replicated [U, D] tower
             return NamedSharding(mesh, P())
         if getattr(leaf, "ndim", 1) >= 2:
             return NamedSharding(mesh, P(("pipe", "data"), "seq"))

@@ -75,7 +75,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def analytic_step_flops(cfg: Config, model: SeqRecModel,
-                        tower_dedup: Optional[bool] = None) -> float:
+                        tower_dedup: Optional[bool] = None,
+                        n_data_shards: int = 1) -> float:
     """Matmul+attention FLOPs of one train step (fwd + ~2x bwd), analytic —
     bench.py's model re-derived without XLA cost analysis (unavailable in
     the loop). Elementwise excluded; feeds the Performance/mfu scalar."""
@@ -108,9 +109,13 @@ def analytic_step_flops(cfg: Config, model: SeqRecModel,
     if tc.tower_dedup if tower_dedup is None else tower_dedup:
         # tower dedup: ONE tower at the static unique capacity replaces the
         # per-position towers (honest accounting — mfu must not credit work
-        # the dedup removed). Callers that gate dedup off (multi-device
-        # train_loop) pass tower_dedup=False.
-        item_tok = tower_dedup_capacity(cfg, model.itemnum)
+        # the dedup removed). Callers that gate dedup off (mixed-mesh
+        # train_loop) pass tower_dedup=False. Stacked DP mode towers cap
+        # rows PER shard (+ the shared sampled negatives, towered directly).
+        item_tok = n_data_shards * tower_dedup_capacity(cfg, model.itemnum,
+                                                        n_data_shards)
+        if tc.loss_type == "sampled_softmax" and n_data_shards > 1:
+            item_tok += tc.num_sampled_negatives
     towers = 2 * item_tok * (itemdim + mm) * D \
         + 2 * B * (K + 1) * userdim * D
     return 3.0 * (blocks + towers)                   # bwd ≈ 2x fwd
@@ -174,6 +179,18 @@ def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                 params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
                 pp_microbatches=ppm, item_tower_override=it_seq)
             neg_ids = batch["sampled_neg_ids"]
+            if neg_embs is None:
+                # stacked DP dedup ships no negs plan (shared negatives
+                # would recompute identically on every shard): tower the
+                # tiny replicated list directly
+                neg_sparse = jnp.take(item_tables["sparse"], neg_ids,
+                                      axis=0, mode="clip")
+                neg_array = jnp.take(item_tables["array"], neg_ids,
+                                     axis=0, mode="clip")
+                neg_embs = model.item_embeddings(params, neg_ids,
+                                                 neg_sparse, neg_array,
+                                                 mm_tables,
+                                                 lookup_site="negs")
         else:
             log_feats, it_seq = model.log2feats(
                 params, batch, mm_tables, train=train, rng=rng, mesh=mesh,
@@ -272,22 +289,30 @@ def sparse_touch_capacity(cfg: Config, name: str = "item_emb") -> int:
     return n + cfg.train.batch_size * (cfg.model.maxlen + 1)
 
 
-def tower_dedup_capacity(cfg: Config, itemnum: int) -> int:
+def tower_dedup_capacity(cfg: Config, itemnum: int,
+                         n_data_shards: int = 1) -> int:
     """Static unique-candidate capacity of the tower-dedup plan: a
     ``tower_dedup_cap_frac`` fraction of the step's candidate-id stream
     (seq item tokens + the final-positive column + negatives per loss type),
     clamped to the vocabulary (unique ids can't exceed itemnum+1 values
-    incl. padding 0) and rounded up to a lane-friendly multiple of 8."""
-    B, L = cfg.train.batch_size, cfg.model.maxlen + 1
+    incl. padding 0) and rounded up to a lane-friendly multiple of 8.
+
+    With ``n_data_shards`` > 1 the capacity is PER DATA SHARD (the stacked
+    [S, cap] plan — each shard dedups its own batch rows; shared
+    sampled-softmax negatives stay outside the stacked plan)."""
+    B = cfg.train.batch_size // n_data_shards
+    L = cfg.model.maxlen + 1
     n = B * L + B
-    n += cfg.train.num_sampled_negatives \
-        if cfg.train.loss_type == "sampled_softmax" else B * L
+    if cfg.train.loss_type == "sampled_softmax":
+        n += 0 if n_data_shards > 1 else cfg.train.num_sampled_negatives
+    else:
+        n += B * L
     cap = min(int(np.ceil(n * cfg.train.tower_dedup_cap_frac)), itemnum + 1)
     return max(16, -(-cap // 8) * 8)
 
 
 def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
-                        step_key=None):
+                        step_key=None, n_data_shards: int = 1):
     """HOST-side tower-dedup prep (``cfg.train.tower_dedup``), run in the
     input pipeline where the prefetcher hides it.
 
@@ -308,12 +333,22 @@ def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
 
     Runs BEFORE augment_batch_sparse so the sparse prep can key its item_emb
     lookup plan on ``dedup_uids`` (site "dedup"). Raises (never truncates)
-    when a batch's unique count exceeds the static capacity."""
+    when a batch's unique count exceeds the static capacity.
+
+    With ``n_data_shards`` = S > 1 (pure data-parallel meshes) the prep is
+    PER SHARD: the batch's row blocks (shard_batch's contiguous leading-dim
+    split) each dedup into their own [cap] column and the shipped arrays
+    stack to [S, cap, ...] / plan leaves [S, ...], sharded over ``data`` —
+    the device vmaps tower + spreads over the shard dim so every gather and
+    cumsum stays shard-local (models/baseline.dedup_spreads). Shared
+    sampled-softmax negatives stay OUTSIDE the stacked plan (each shard
+    would recompute identical rows; the tiny shared tower is cheaper than
+    S copies)."""
     from ..ops.sparse_table import build_lookup_plan
 
     out = dict(batch)
-    if cfg.train.loss_type == "sampled_softmax" and \
-            "sampled_neg_ids" not in out:
+    ss = cfg.train.loss_type == "sampled_softmax"
+    if ss and "sampled_neg_ids" not in out:
         # same sampling guard as augment_batch_sparse (which runs AFTER
         # this and skips when the ids are already present)
         r = np.random.default_rng(step_key)
@@ -322,27 +357,47 @@ def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
     tt = np.asarray(out["token_type"])
     seq_ids = np.where(tt == 1, np.asarray(out["seq"]), 0)
     pos_last = np.asarray(out["pos"])[:, -1:]
-    negs = np.asarray(out["sampled_neg_ids"]
-                      if cfg.train.loss_type == "sampled_softmax"
-                      else out["neg"])
-    cap = tower_dedup_capacity(cfg, itemnum)
-    u = np.unique(np.concatenate([seq_ids.reshape(-1), pos_last.reshape(-1),
-                                  negs.reshape(-1)]))
-    if len(u) > cap:
-        raise ValueError(
-            f"tower-dedup: {len(u)} unique candidate ids exceed the static "
-            f"capacity {cap} — raise train.tower_dedup_cap_frac "
-            f"(= {cfg.train.tower_dedup_cap_frac}) or disable "
-            f"train.tower_dedup")
-    uids = np.full((cap,), itemnum + 1, np.int32)   # sentinel sorts last
-    uids[:len(u)] = u
+    negs = np.asarray(out["sampled_neg_ids"] if ss else out["neg"])
+    S = max(n_data_shards, 1)
+    cap = tower_dedup_capacity(cfg, itemnum, S)
+    B = seq_ids.shape[0]
+    assert B % S == 0, f"batch rows {B} must divide data shards {S}"
+
+    def shard_plan(sites):
+        u = np.unique(np.concatenate([i.reshape(-1) for _, i in sites]))
+        if len(u) > cap:
+            raise ValueError(
+                f"tower-dedup: {len(u)} unique candidate ids exceed the "
+                f"static capacity {cap} — raise train.tower_dedup_cap_frac "
+                f"(= {cfg.train.tower_dedup_cap_frac}) or disable "
+                f"train.tower_dedup")
+        uids = np.full((cap,), itemnum + 1, np.int32)  # sentinel sorts last
+        uids[:len(u)] = u
+        return uids, {site: build_lookup_plan(uids, ids)
+                      for site, ids in sites}
+
+    if S == 1:
+        uids, plans = shard_plan([("seq", seq_ids), ("pos_last", pos_last),
+                                  ("negs", negs)])
+    else:
+        rows = B // S
+        per = []
+        for s in range(S):
+            sl = slice(s * rows, (s + 1) * rows)
+            sites = [("seq", seq_ids[sl]), ("pos_last", pos_last[sl])]
+            if not ss:
+                sites.append(("negs", negs[sl]))
+            per.append(shard_plan(sites))
+        uids = np.stack([u for u, _ in per])               # [S, cap]
+        plans = {site: {k: np.stack([p[site][k] for _, p in per])
+                        for k in per[0][1][site]}
+                 for site in per[0][1]}
     out["dedup_uids"] = uids
     safe = np.where(uids <= itemnum, uids, 0)        # sentinel -> zero row
     out["dedup_sparse"] = item_feats.sparse[safe].astype(np.int32)
     out["dedup_array"] = item_feats.array[safe].astype(np.int32)
-    for site, ids in (("seq", seq_ids), ("pos_last", pos_last),
-                      ("negs", negs)):
-        for k, v in build_lookup_plan(uids, ids).items():
+    for site, plan in plans.items():
+        for k, v in plan.items():
             out[f"dedup_{site}_{k}"] = v
     # the per-position feature copies these plans replace are dead weight on
     # the device path (the negatives' device-side feature gather goes too)
@@ -787,10 +842,25 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # steps — a per-step ``float(loss)`` would force a host<->device sync
     # per step and serialize the pipeline (the reference syncs every step,
     # ``main.py:206``; on TPU that can dominate step time).
+    # Tower dedup gate: single-process, and the mesh (if any) must be pure
+    # data-parallel — the stacked [S, cap] plan vmaps over data shards;
+    # model/seq/pipe sharding would split the tower itself. Sparse tables
+    # compose on a single device (plan site "dedup"); the stacked x sharded-
+    # table composition is not wired.
+    n_dp = 1 if mesh is None else int(mesh.shape.get("data", 1))
+    dedup_on = (cfg.train.tower_dedup and jax.process_count() == 1
+                and (mesh is None
+                     or all(mesh.shape.get(a, 1) == 1
+                            for a in ("model", "seq", "pipe")))
+                and not (cfg.train.sparse_tables and n_dp > 1))
+    if cfg.train.tower_dedup and not dedup_on:
+        print("WARNING: train.tower_dedup needs a single-process pure "
+              "data-parallel mesh (and no sparse tables when data > 1) — "
+              "disabled for this run")
+
     pending = []  # (record-dict-without-loss, device metrics)
-    step_flops = analytic_step_flops(
-        cfg, model, tower_dedup=cfg.train.tower_dedup and
-        (mesh is None or mesh.devices.size == 1))
+    step_flops = analytic_step_flops(cfg, model, tower_dedup=dedup_on,
+                                     n_data_shards=n_dp)
     step_peak = device_peak_flops()
 
     def flush(epoch):
@@ -857,13 +927,6 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                   f"ETA {T.format_time(last_rec['estimated_remaining_time'])}")
         pending.clear()
 
-    dedup_on = cfg.train.tower_dedup and \
-        (mesh is None or mesh.devices.size == 1)
-    if cfg.train.tower_dedup and not dedup_on:
-        print("WARNING: train.tower_dedup is single-device only (the spread "
-              "plan indexes a replicated tower) — disabled on this "
-              f"{dict(mesh.shape)} mesh")
-
     def epoch_batches(epoch):
         it = train_loader.epoch(epoch)
         if not (cfg.train.sparse_tables or dedup_on):
@@ -877,7 +940,7 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                 # FIRST: the sparse prep keys its item_emb plan on the
                 # dedup'd id column when present
                 b = augment_batch_dedup(b, cfg, item_tables, model.itemnum,
-                                        step_key=key)
+                                        step_key=key, n_data_shards=n_dp)
             if cfg.train.sparse_tables:
                 b = augment_batch_sparse(b, cfg, model.itemnum, key,
                                          n_table_shards=n_shards,

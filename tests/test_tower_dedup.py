@@ -174,6 +174,82 @@ def test_dedup_with_sparse_table_matches_dense(small_setup):
                                        rtol=2e-4, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_dedup_stacked_dp_matches_dense(small_setup):
+    """STACKED data-parallel dedup (dedup_uids [S, cap], vmapped tower +
+    spreads, a2a id-emb lookups) on an 8-device data mesh == the
+    single-device dense-layout loss/grads."""
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.parallel import mesh as M
+    from tencent_recommendation_2025_tpu.parallel import partition
+
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    params = model.init(jax.random.key(0))
+    batch = _one_batch(small_setup, dense_cfg)
+    mesh = M.build_mesh(MeshConfig(data=8))
+
+    def loss_fn(cfg, mesh_):
+        def f(p, b):
+            return compute_loss(model, p, b, tables["mm"], tables, cfg,
+                                False, None, mesh=mesh_)[0]
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn(dense_cfg, None))(params,
+                                                                batch)
+
+    aug = augment_batch_dedup(batch, dedup_cfg, small_setup["tables"],
+                              model.itemnum, n_data_shards=8)
+    assert aug["dedup_uids"].ndim == 2 and aug["dedup_uids"].shape[0] == 8
+    params_sh = partition.shard_params(mesh, params)
+    batch_sh = jax.device_put(aug, partition.batch_shardings(mesh, aug))
+    l_sh, g_sh = jax.jit(jax.value_and_grad(loss_fn(dedup_cfg, mesh)))(
+        params_sh, batch_sh)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=2e-5)
+    g_sh = partition.unpad_like(g_sh, g_ref)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_sh),
+            jax.tree_util.tree_leaves_with_path(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_dedup_stacked_ss_negs_fallback(small_setup):
+    """Stacked sampled-softmax mode ships NO negs plan (shared negatives
+    tower directly) and still matches the dense path."""
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.parallel import mesh as M
+    from tencent_recommendation_2025_tpu.parallel import partition
+
+    dense_cfg, dedup_cfg = _cfgs(small_setup, loss_type="sampled_softmax",
+                                 num_sampled_negatives=16)
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    params = model.init(jax.random.key(0))
+    batch = _one_batch(small_setup, dense_cfg)
+    mesh = M.build_mesh(MeshConfig(data=8))
+    aug = augment_batch_dedup(batch, dedup_cfg, small_setup["tables"],
+                              model.itemnum, step_key=(0, 9),
+                              n_data_shards=8)
+    assert "dedup_negs_idx" not in aug
+    dense_batch = dict(batch, sampled_neg_ids=aug["sampled_neg_ids"])
+
+    def loss_fn(cfg, mesh_):
+        def f(p, b):
+            return compute_loss(model, p, b, tables["mm"], tables, cfg,
+                                False, None, mesh=mesh_)[0]
+        return f
+
+    l_ref = loss_fn(dense_cfg, None)(params, dense_batch)
+    params_sh = partition.shard_params(mesh, params)
+    batch_sh = jax.device_put(aug, partition.batch_shardings(mesh, aug))
+    l_sh = jax.jit(loss_fn(dedup_cfg, mesh))(params_sh, batch_sh)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=2e-5)
+
+
 def test_dedup_capacity_overflow_raises(small_setup):
     dense_cfg, dedup_cfg = _cfgs(small_setup)
     tiny = dedup_cfg.replace(train=dataclasses.replace(
