@@ -157,6 +157,11 @@ def main():
     # ---- encoder forward ----
     @jax.jit
     def encoder_fwd(params, batch):
+        if "dedup_uids" in batch:
+            it_seq, _, _ = model.dedup_spreads(params, batch, tables["mm"])
+            return model.log2feats(params, batch, tables["mm"], train=True,
+                                   rng=key,
+                                   item_tower_override=it_seq).sum()
         return model.log2feats(params, batch, tables["mm"], train=True,
                                rng=key).sum()
 

@@ -251,7 +251,11 @@ def sampled_softmax_dp() -> Config:
     return Config(
         model=ModelConfig(block_type="hstu", ffn_type="swiglu", reference_init=False),
         train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0,
-                          weight_decay=0.01, num_inbatch_negatives=64),
+                          weight_decay=0.01, num_inbatch_negatives=64,
+                          # stacked per-shard tower dedup (EXACT; vmapped
+                          # spreads over the data axis — trainer.
+                          # augment_batch_dedup)
+                          tower_dedup=True),
         mesh=MeshConfig(data=8),
     )
 
