@@ -213,12 +213,18 @@ def main(argv=None):
                                    num_workers=args.num_workers)
 
     state = None
+    start_epoch = 0
     if args.state_dict_path:
         tx = make_optimizer(cfg)
         template = init_state(model, tx, cfg.train.seed, cfg=cfg)
         state, meta = CK.load_checkpoint(args.state_dict_path, template,
                                          model_config=cfg.model)
-        print(f"resumed from {args.state_dict_path} (meta {meta})")
+        # the reference parses epoch= from the filename and runs only the
+        # REMAINING epochs (main.py:118-127); our meta carries it directly
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {args.state_dict_path} "
+              f"(step {meta.get('global_step')}, {start_epoch}/"
+              f"{cfg.train.num_epochs} epochs done)")
 
     if args.inference_only:
         print("inference_only: skipping training")
@@ -229,7 +235,8 @@ def main(argv=None):
     state = train_loop(model, cfg, train_loader, valid_loader, tables,
                        log_dir=env.train_log_path,
                        tb_dir=env.train_tf_events_path,
-                       ckpt_dir=env.train_ckpt_path, state=state, mesh=mesh)
+                       ckpt_dir=env.train_ckpt_path, state=state,
+                       start_epoch=start_epoch, mesh=mesh)
     print("Done")
     return state
 

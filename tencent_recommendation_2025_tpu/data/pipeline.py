@@ -134,6 +134,13 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
 
+    class _Err:
+        """Producer-thread exception, re-raised on the consumer side — a
+        data-pipeline error must kill the epoch loudly, not truncate it."""
+
+        def __init__(self, e):
+            self.e = e
+
     def producer():
         try:
             for item in iterator:
@@ -141,8 +148,9 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
                     q.put((put(item[0]), *item[1:]))
                 else:
                     q.put(put(item))
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put(_Err(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -150,4 +158,6 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, _Err):
+            raise item.e
         yield item

@@ -11,6 +11,7 @@ inside the loop to simulate a host failure.
 
 from __future__ import annotations
 
+import inspect
 import time
 import traceback
 from pathlib import Path
@@ -33,11 +34,21 @@ def run_supervised(train_fn: Callable[[Optional[object], int], object],
     ``train_fn`` must checkpoint into ``ckpt_dir`` as it goes and return the
     final state. On failure the supervisor reloads the newest checkpoint into
     ``state_template``'s structure and calls ``train_fn`` again.
+
+    If ``train_fn`` accepts a third parameter it also receives the restored
+    checkpoint's ``meta`` dict (``None`` on the first attempt / cold restart)
+    — pass ``meta["epoch"]`` into ``train_loop(start_epoch=...)`` so each
+    restart trains only the REMAINING epochs instead of re-running the full
+    budget (the reference's ``epoch_start_idx`` semantics,
+    ``model/BaseLine/main.py:118-127``).
     """
+    wants_meta = len(inspect.signature(train_fn).parameters) >= 3
     attempt = 0
-    resume = None
+    resume, meta = None, None
     while True:
         try:
+            if wants_meta:
+                return train_fn(resume, attempt, meta)
             return train_fn(resume, attempt)
         except Exception as e:  # noqa: BLE001 — supervisor catches everything
             attempt += 1
@@ -53,8 +64,9 @@ def run_supervised(train_fn: Callable[[Optional[object], int], object],
                 resume, meta = CK.load_checkpoint(latest, state_template)
                 if verbose:
                     print(f"supervisor: restored {latest.name} "
-                          f"(step {meta.get('global_step')})")
+                          f"(step {meta.get('global_step')}, "
+                          f"epoch {meta.get('epoch')})")
             else:
-                resume = None
+                resume, meta = None, None
             if backoff_s:
                 time.sleep(backoff_s)

@@ -62,17 +62,25 @@ class TBWriter:
 
 
 class StepTimer:
-    """Wall-clock step telemetry (reference main.py:192-226 semantics)."""
+    """Wall-clock step telemetry (reference main.py:192-226 semantics).
 
-    def __init__(self, total_steps: int):
+    ``initial_step`` seeds ``global_step`` on resume so checkpoint names and
+    TB x-axes stay monotone across restarts (the reference resumes epoch
+    numbering from the filename, ``main.py:118-127``); steps/s and ETA are
+    computed from THIS run's ticks only, not the restored offset.
+    """
+
+    def __init__(self, total_steps: int, initial_step: int = 0):
         self.total_steps = total_steps
         self.start = time.time()
-        self.global_step = 0
+        self.global_step = initial_step
+        self._ticks = 0
 
     def tick(self, step_time: float) -> dict:
         self.global_step += 1
+        self._ticks += 1
         elapsed = time.time() - self.start
-        sps = self.global_step / elapsed if elapsed > 0 else 0.0
+        sps = self._ticks / elapsed if elapsed > 0 else 0.0
         remaining = (self.total_steps - self.global_step) / sps if sps > 0 else 0.0
         return {
             "step_time": step_time,

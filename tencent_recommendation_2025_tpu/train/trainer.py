@@ -811,10 +811,17 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                ckpt_dir: Optional[str] = None,
                state: Optional[TrainState] = None,
                num_epochs: Optional[int] = None,
+               start_epoch: int = 0,
                mesh=None,
                verbose: bool = True) -> TrainState:
     """The reference epoch loop (main.py:154-269): train epochs with per-step
     telemetry, full validation pass per epoch, checkpoint per epoch.
+
+    ``start_epoch`` = epochs already completed by a resumed ``state`` — the
+    loop runs only the REMAINING epochs, matching the reference's
+    ``epoch_start_idx`` resume semantics (``main.py:118-127``, loop ``:154``).
+    The step counter resumes from ``state.step`` so checkpoint dir names
+    (``global_step{N}``) stay monotone across restarts.
 
     With ``mesh``, the whole loop runs sharded: DP batches, TP projections,
     row-sharded (EP) tables, SP ring attention — see setup_training.
@@ -828,7 +835,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     save_handle = None
     jlog = T.JsonlLogger(log_dir)
     tb = T.TBWriter(tb_dir)
-    timer = T.StepTimer(total_steps=len(train_loader) * epochs)
+    timer = T.StepTimer(total_steps=len(train_loader) * epochs,
+                        initial_step=int(jax.device_get(state.step)))
 
     from ..data.pipeline import prefetch_to_device
 
@@ -950,53 +958,74 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         # host-side prep (dedup + negatives) rides the prefetch thread
         return (prep(b, i) for i, b in enumerate(it))
 
-    for epoch in range(1, epochs + 1):
-        for step, batch in enumerate(
-                prefetch_to_device(epoch_batches(epoch),
-                                   device_put=put_batch)):
-            t0 = time.time()
-            state, metrics = train_step(state, batch, mm_tables, tables, rng)
-            rec = timer.tick(time.time() - t0)
-            rec.update({"global_step": timer.global_step, "epoch": epoch,
-                        "step": step})
-            pending.append((rec, metrics))
-            if (step + 1) % cfg.train.log_every == 0:
-                flush(epoch)
-            if probe_batch is not None and \
-                    timer.global_step % cfg.train.grad_log_every == 0:
-                vm = eval_step(state.params, probe_batch, mm_tables, tables)
-                tb.scalar("Valid/loss", float(vm["loss"]), timer.global_step)
-        flush(epoch)
+    if start_epoch >= epochs and verbose:
+        print(f"resume: {start_epoch}/{epochs} epochs already trained — "
+              "nothing to do")
+    crashed = False
+    try:
+        for epoch in range(start_epoch + 1, epochs + 1):
+            for step, batch in enumerate(
+                    prefetch_to_device(epoch_batches(epoch),
+                                       device_put=put_batch)):
+                t0 = time.time()
+                state, metrics = train_step(state, batch, mm_tables, tables,
+                                            rng)
+                rec = timer.tick(time.time() - t0)
+                rec.update({"global_step": timer.global_step, "epoch": epoch,
+                            "step": step})
+                pending.append((rec, metrics))
+                if (step + 1) % cfg.train.log_every == 0:
+                    flush(epoch)
+                if probe_batch is not None and \
+                        timer.global_step % cfg.train.grad_log_every == 0:
+                    vm = eval_step(state.params, probe_batch, mm_tables,
+                                   tables)
+                    tb.scalar("Valid/loss", float(vm["loss"]),
+                              timer.global_step)
+            flush(epoch)
 
-        # validation pass (reference main.py:233-262)
-        vstart = time.time()
-        vloss, vsteps = 0.0, 0
-        if valid_loader is not None:
-            for batch in prefetch_to_device(valid_loader.epoch(0),
-                                            device_put=put_batch):
-                m = eval_step(state.params, batch, mm_tables, tables)
-                vloss += float(m["loss"])
-                vsteps += 1
-        valid_loss = vloss / max(1, vsteps)
-        vtime = time.time() - vstart
-        tb.scalar("Loss/valid", valid_loss, timer.global_step)
-        tb.scalar("Performance/validation_time", vtime, epoch)
-        if verbose:
-            print(f"epoch {epoch}: valid_loss {valid_loss:.4f} "
-                  f"({T.format_time(vtime)})")
-        if ckpt_dir:
-            # mesh states save as-is, shard-padded rows included: sharded
-            # leaves write PER-SHARD files (no host/device gather — stripping
-            # the pad would all-gather every table); the load side converts
-            # across pad boundaries (checkpoint._convert_layout)
-            if save_handle is not None:
-                save_handle.result()  # one save in flight at a time
-            save_handle = save_checkpoint_async(
-                ckpt_dir, state, timer.global_step, valid_loss,
-                model_config=model.cfg)
-
-    if save_handle is not None:
-        save_handle.result()
-    jlog.close()
-    tb.close()
+            # validation pass (reference main.py:233-262)
+            vstart = time.time()
+            vloss, vsteps = 0.0, 0
+            if valid_loader is not None:
+                for batch in prefetch_to_device(valid_loader.epoch(0),
+                                                device_put=put_batch):
+                    m = eval_step(state.params, batch, mm_tables, tables)
+                    vloss += float(m["loss"])
+                    vsteps += 1
+            valid_loss = vloss / max(1, vsteps)
+            vtime = time.time() - vstart
+            tb.scalar("Loss/valid", valid_loss, timer.global_step)
+            tb.scalar("Performance/validation_time", vtime, epoch)
+            if verbose:
+                print(f"epoch {epoch}: valid_loss {valid_loss:.4f} "
+                      f"({T.format_time(vtime)})")
+            if ckpt_dir:
+                # mesh states save as-is, shard-padded rows included: sharded
+                # leaves write PER-SHARD files (no host/device gather —
+                # stripping the pad would all-gather every table); the load
+                # side converts across pad boundaries (_convert_layout)
+                if save_handle is not None:
+                    save_handle.result()  # one save in flight at a time
+                save_handle = save_checkpoint_async(
+                    ckpt_dir, state, timer.global_step, valid_loss,
+                    extra_meta={"epoch": epoch},
+                    model_config=model.cfg)
+    except BaseException:
+        crashed = True
+        raise
+    finally:
+        # Join any in-flight async save even on a crash: the supervisor
+        # restarts from latest_checkpoint and must not race the background
+        # writer (a .tmp mid-write is ignored, but the restart would then
+        # silently fall back to an older checkpoint). A save error is
+        # surfaced only on the clean path — never masks the original crash.
+        if save_handle is not None:
+            try:
+                save_handle.result()
+            except Exception:
+                if not crashed:
+                    raise
+        jlog.close()
+        tb.close()
     return state
