@@ -78,8 +78,10 @@ def main():
                                        with_np=True)
     batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum,
                           tables_np=tables_np)
+    tower_dedup = False
     if os.environ.get("BENCH_TOWER_DEDUP", "1") != "0" and \
             jax.device_count() == 1:
+        tower_dedup = True
         # tower dedup (trainer.augment_batch_dedup): the product fast path —
         # one item tower per unique candidate id, host-planned spreads
         import dataclasses
@@ -154,6 +156,9 @@ def main():
         "mfu": round(mfu, 4),
         "step_flops_g": round(total_flops / 1e9, 1),
         "step_ms": round(step_time * 1000, 1),
+        # ADVICE r4: self-describing workload — the dedup flag changes the
+        # measured configuration, so cross-round comparisons must see it
+        "tower_dedup": tower_dedup,
     })
 
     # Secondary headline (VERDICT r3 item 7: driver-verify more than the
@@ -168,6 +173,29 @@ def main():
             _longseq_secondary(G, M, PT, MeshConfig, jax)
         except Exception as e:  # noqa: BLE001 - report, keep flagship
             print(json.dumps({"metric": "longseq_L4096_train_step",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+    # Third headline (VERDICT r4 item 7): the 100M-row sparse-table step
+    # (B=64, bf16 PACKED [V/16, 8, 128] master + rowwise-Adagrad — the
+    # BASELINE.json configs[4] scale). Run in a SUBPROCESS so the 12.8 GB
+    # table never shares HBM with this process's resident train states
+    # (and an OOM there can't kill the flagship line). BENCH_100M=0 skips.
+    if os.environ.get("BENCH_100M", "1") != "0" and \
+            jax.default_backend() in ("tpu", "axon"):
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).resolve().parent / "benchmarks" /
+                     "sparse_table_bench.py"), "--100m"],
+                capture_output=True, text=True, timeout=1800)
+            for ln in r.stdout.splitlines():
+                if ln.startswith("{"):
+                    print(ln, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": "sparse_table_step_100M",
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
 

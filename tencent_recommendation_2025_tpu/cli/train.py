@@ -53,6 +53,9 @@ def get_args(argv=None):
     p.add_argument("--block_type", default=None, choices=["mha", "hstu"])
     p.add_argument("--loss_type", default=None,
                    choices=["bce", "sampled_softmax"])
+    p.add_argument("--num_inbatch_negatives", default=None, type=int,
+                   help="in-batch negatives for sampled softmax (F9); "
+                        "0 = shared-uniform only")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", default=None, type=int)
     p.add_argument("--mesh_model", default=None, type=int)
@@ -61,6 +64,13 @@ def get_args(argv=None):
     p.add_argument("--pp_microbatches", default=None, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="capture a jax.profiler trace (TensorBoard-viewable) "
+                        "around N train steps; written under "
+                        "TRAIN_LOG_PATH/profile")
+    p.add_argument("--profile_start", default=4, type=int,
+                   help="1-based step the profile window starts at "
+                        "(default skips the compile-laden first steps)")
     p.add_argument("--loader", default="auto",
                    choices=["auto", "native", "cached", "streaming"],
                    help="native: C++ dataprep_tool packs users to disk "
@@ -83,7 +93,8 @@ def build_config(args):
         model_over["norm_first"] = True
     train_over = {k: getattr(args, k) for k in
                   ("batch_size", "lr", "num_epochs", "l2_emb", "loss_type",
-                   "seed") if getattr(args, k) is not None}
+                   "seed", "num_inbatch_negatives")
+                  if getattr(args, k) is not None}
     mesh_over = {}
     for ax in ("data", "model", "seq", "pipe"):
         v = getattr(args, f"mesh_{ax}")
@@ -232,11 +243,17 @@ def main(argv=None):
 
     # (mesh was decided at the top of main, before model construction —
     # the sharded path replaces the reference's single-device main.py:32)
+    profile_dir = None
+    if args.profile_steps:
+        profile_dir = str(Path(env.train_log_path or ".") / "profile")
     state = train_loop(model, cfg, train_loader, valid_loader, tables,
                        log_dir=env.train_log_path,
                        tb_dir=env.train_tf_events_path,
                        ckpt_dir=env.train_ckpt_path, state=state,
-                       start_epoch=start_epoch, mesh=mesh)
+                       start_epoch=start_epoch, mesh=mesh,
+                       profile_steps=args.profile_steps,
+                       profile_dir=profile_dir,
+                       profile_start=args.profile_start)
     print("Done")
     return state
 

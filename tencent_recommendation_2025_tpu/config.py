@@ -107,14 +107,15 @@ class TrainConfig:
     # features are a function of the item id (data/featurizer.ItemFeature
     # Tables; the reference looks features up per id too,
     # model/BaseLine/dataset.py:130-160) — and cuts tower matmuls + one-hot
-    # feature backwards to O(unique ids). Single-device meshes only (the
-    # plan indexes a replicated tower; a sharded variant would need
-    # per-shard plans).
+    # feature backwards to O(unique ids). Pure data-parallel meshes: data>1
+    # runs the stacked [S, cap] per-shard plan (vmapped tower + spreads);
+    # composes with sparse_tables both single-device and stacked.
     tower_dedup: bool = False
     # Static unique-id capacity as a fraction of the candidate-stream length
     # (already clamped to itemnum+2 — unique ids can't exceed the vocab).
-    # The host prep raises loudly (never truncates) if a batch's unique
-    # count exceeds it.
+    # A batch whose unique count exceeds it DEGRADES TO NEUTRAL: it ships
+    # un-dedup'd through the dense per-position towers (exact, slower) with
+    # a rate-limited warning — never truncates, never kills the run.
     tower_dedup_cap_frac: float = 0.75
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10

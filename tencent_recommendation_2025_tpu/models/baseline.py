@@ -20,11 +20,36 @@ from typing import Dict, Mapping, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import contextvars
+
 from ..config import ModelConfig
 from ..data.featurizer import FusedVocab
 from ..data.schema import FeatureSchema
 from . import embedding as E
 from . import encoder as ENC
+
+#: Trace-scoped collector for EP a2a overflow counts (see ep_overflow_scope).
+_EP_OVERFLOW_ACC: contextvars.ContextVar = contextvars.ContextVar(
+    "ep_overflow_acc", default=None)
+
+
+class ep_overflow_scope:
+    """Collect the a2a bucket-overflow counts ``_ep_override`` emits during
+    one loss trace, TRACE-PURELY: the accumulator lives in a context
+    variable (per-thread, save/restore nesting), never on the shared frozen
+    model object — two concurrent traces of the same ``SeqRecModel`` (train
+    + eval jit on different threads, async eval) each see their own scope.
+    ``counts`` holds the appended JAX values; sum it after the bracketed
+    forward (trainer.compute_loss)."""
+
+    def __enter__(self):
+        self.counts = []
+        self._token = _EP_OVERFLOW_ACC.set(self.counts)
+        return self
+
+    def __exit__(self, *exc):
+        _EP_OVERFLOW_ACC.reset(self._token)
+        return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,9 +86,11 @@ class SeqRecModel:
 
         Ids that overflow a shard's static bucket (capacity_factor 2.0)
         come back as ZERO embeddings and drop their table gradient, so the
-        global overflow count accumulates on ``self._ep_overflow`` within
-        the current trace — trainer.compute_loss surfaces it as the
-        ``ep_overflow`` step metric (log/alert on > 0)."""
+        overflow count is appended to the enclosing
+        :class:`ep_overflow_scope` (a context-var accumulator — trace-pure,
+        no mutation of this shared frozen model) — trainer.compute_loss
+        surfaces the sum as the ``ep_overflow`` step metric (alert on
+        > 0)."""
         from ..ops.sparse_table import GatheredRows, is_packed
 
         tbl = params["item_emb"]
@@ -75,11 +102,9 @@ class SeqRecModel:
         from ..parallel.sharded_embedding import sharded_lookup_a2a
 
         emb, ovf = sharded_lookup_a2a(mesh, tbl, ids, return_overflow=True)
-        prev = getattr(self, "_ep_overflow", None)
-        # trace-local accumulator (frozen dataclass -> object.__setattr__);
-        # compute_loss resets it before the forward and reads it after
-        object.__setattr__(self, "_ep_overflow",
-                           ovf if prev is None else prev + ovf)
+        acc = _EP_OVERFLOW_ACC.get()
+        if acc is not None:
+            acc.append(ovf)
         return emb.astype(jnp.dtype(self.cfg.dtype))
 
     def item_embeddings(self, params: Mapping, ids: jnp.ndarray,
@@ -128,6 +153,12 @@ class SeqRecModel:
 
         uids = batch["dedup_uids"]
         stacked = uids.ndim == 2
+        if mesh is not None and mesh.shape.get("data", 1) > 1 and not stacked:
+            raise ValueError(
+                "tower-dedup on a data>1 mesh requires the STACKED [S, cap] "
+                "plan (augment_batch_dedup(n_data_shards=S)) — a 1-D plan "
+                "would spread through replicated gathers against sharded "
+                "batch rows")
         tu = self.item_embeddings(
             params, uids, batch["dedup_sparse"],
             batch["dedup_array"], mm_tables, lookup_site="dedup", mesh=mesh)

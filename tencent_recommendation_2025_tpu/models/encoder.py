@@ -292,6 +292,15 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
         def pp_block_body(act, scanned):
             bp, keys = scanned
             xa, tt = act["x"], act["tt"]
+            if use_dropout:
+                # ADVICE r4: fold the microbatch id (riding the conveyor —
+                # rows of a microbatch share it) into the per-block keys.
+                # Without it every microbatch reuses the block's key and the
+                # kernel PRNG seeds by in-microbatch row index, so row i of
+                # every microbatch draws an identical dropout mask.
+                mb = act["mb"][0]
+                keys = (jax.random.fold_in(keys[0], mb),
+                        jax.random.fold_in(keys[1], mb))
             if pp_fused:
                 seed = (jax.random.randint(keys[0], (), 0, 2 ** 31 - 1,
                                            dtype=jnp.int32)
@@ -299,24 +308,48 @@ def encode(params: Mapping, fused_emb: jnp.ndarray, seq_ids: jnp.ndarray,
                 x2 = fused_hstu_block(xa, bp, tt, seed, cfg.num_heads,
                                       cfg.dropout_rate, use_dropout,
                                       interpret=_fb_interpret())
-                return {"x": x2, "tt": tt}
+                return dict(act, x=x2)
             mha_c, hstu_c = make_attention_cores(cfg, tt, mesh=None)
             need_mask = (cfg.block_type == "hstu" and hstu_c is None) or \
                 (cfg.block_type != "hstu" and mha_c is None)
             m = attention_mask(tt, tt) if need_mask else None
-            return {"x": run_block(xa, bp, keys, m, mha_c, hstu_c),
-                    "tt": tt}
+            return dict(act, x=run_block(xa, bp, keys, m, mha_c, hstu_c))
 
         data_axis = "data" if mesh.shape.get("data", 1) > 1 else None
         # the fused kernel is its own custom_vjp with in-kernel remat —
         # wrapping it in jax.checkpoint would re-run the forward kernel
         pp_body = pp_block_body if pp_fused else remat(pp_block_body)
+        act0 = {"x": x, "tt": token_type}
+        if use_dropout:
+            act0["mb"] = (jnp.arange(B, dtype=jnp.int32)
+                          * pp_microbatches) // B
         out = pipelined_scan(mesh, "pipe", pp_body,
                              (params["blocks"], block_keys),
-                             {"x": x, "tt": token_type},
+                             act0,
                              num_microbatches=pp_microbatches,
                              data_axis=data_axis)
         return layernorm(_cast_ln(params["last_ln"], dtype), out["x"])
+
+    # per-shard FUSED blocks on seq-sharded (ring) meshes: pre/attention/
+    # post Pallas stages on each [B, D, L/S] shard with K/V rotating
+    # between attention pairs (parallel/ring_fused.py) — the long-context
+    # multi-chip configs no longer fall back to the unfused ~4%-MFU path
+    if (mesh is not None and mesh.shape.get("seq", 1) > 1
+            and all(mesh.shape.get(ax, 1) == 1 for ax in ("pipe", "model"))):
+        from ..ops.fused_block import ring_fused_supported
+
+        if ring_fused_supported(cfg, L, mesh.shape["seq"],
+                                jax.default_backend()):
+            from ..parallel.ring_fused import ring_fused_encode
+
+            seeds = (jax.random.randint(rng, (cfg.num_blocks,), 0,
+                                        2 ** 31 - 1, dtype=jnp.int32)
+                     if use_dropout
+                     else jnp.zeros((cfg.num_blocks,), jnp.int32))
+            x = ring_fused_encode(mesh, params["blocks"], x, token_type,
+                                  seeds, cfg, use_dropout,
+                                  interpret=_fb_interpret())
+            return layernorm(_cast_ln(params["last_ln"], dtype), x)
 
     # fully-fused whole-block kernel (ops/fused_block.py): the entire HSTU
     # block (LNs, projections, attention stripes, gating, dropout, SwiGLU

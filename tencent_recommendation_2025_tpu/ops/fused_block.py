@@ -408,18 +408,16 @@ def _bwd_kernel(seed_ref, xt_ref, valid_ref, lnt_ref, wuvqk_ref, buvqkt_ref,
 # the FB_CHUNK constants)
 # ---------------------------------------------------------------------------
 
-def _proj_chunk(xt_ref, csl, lnt_ref, wuvqk_ref, buvqkt_ref, cdt, *,
-                u_rows=None):
-    """LN1 + uvqk projection + silu for one L-chunk. ``u_rows``: compute
-    only the first ``u_rows`` output rows (the u gate — a quarter matmul
-    for the backward's recompute). Returns (uvqk_f32, h1, xhat1, rstd1)."""
+def _proj_chunk(xt_ref, csl, lnt_ref, wuvqk_ref, buvqkt_ref, cdt):
+    """LN1 + uvqk projection + silu for one L-chunk (every caller — forward
+    pre stage and the backward's recompute — needs the full uvqk).
+    Returns (uvqk_f32, h1, xhat1, rstd1)."""
     f32 = jnp.float32
     xf = xt_ref[0, :, csl].astype(f32)
     h1, xhat1, rstd1 = _ln_fwd_t(xf, lnt_ref[:, 0:1], lnt_ref[:, 1:2])
-    w = wuvqk_ref[:, 0:u_rows] if u_rows is not None else wuvqk_ref[...]
-    b = (buvqkt_ref[0:u_rows, 0:1] if u_rows is not None
-         else buvqkt_ref[:, 0:1])
-    uvqk = jax.nn.silu(_dot(w, h1.astype(cdt), ((0,), (0,))) + b)
+    uvqk = jax.nn.silu(
+        _dot(wuvqk_ref[...], h1.astype(cdt), ((0,), (0,)))
+        + buvqkt_ref[:, 0:1])
     return uvqk, h1, xhat1, rstd1
 
 
@@ -1161,3 +1159,457 @@ def fused_hstu_block(x, bp, token_type, seed, num_heads: int,
     outt = fused_hstu_block_t(xt, bp, token_type, seed, num_heads,
                               dropout_rate, train, interpret)
     return jnp.swapaxes(outt, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# ring-SP per-shard units (round 5, VERDICT r4 item 4)
+#
+# The seq>1 multi-chip path used to run UNFUSED per-shard blocks — exactly
+# the long-context configs that need the fused kernels most trained at the
+# ~4%-MFU unfused operating point. These units re-package the chunked stage
+# kernels as three independently-differentiable pieces that
+# parallel/ring_fused.py composes inside a shard_map over ("data", "seq"):
+#
+#   ring_pre_proj   — LN1 + uvqk projection + silu on the LOCAL [B, D, L/S]
+#                     shard (fwd = _fwd_pre_kernel_chunk; bwd =
+#                     _bwd_proj_kernel_chunk with a zero residual slot);
+#   ring_pair_attn  — ONE (q-shard, kv-shard) attention pair with a runtime
+#                     GLOBAL block offset (the kv shard rotates around the
+#                     ring via ppermute; HSTU silu attention is additive, so
+#                     per-pair partial sums are exact — no LSE state);
+#   ring_post_gate  — LN2 gate + out-proj + residual + LN3 + SwiGLU FFN on
+#                     the local shard (fwd = _fwd_post_kernel_chunk; bwd =
+#                     _bwd_gate_kernel_chunk, whose projection recompute
+#                     also re-derives u so the unit needs no saved u).
+#
+# The ring loop itself is plain JAX (ppermute differentiates to the inverse
+# rotation), so jax.grad composes the three custom VJPs without a
+# hand-written whole-ring backward. The global L keeps the HSTU 1/L scaling
+# and the rel-pos tile slots exact: slot = (qb - kb) + off where
+# off = (q_shard - kv_shard) * blocks_per_shard is a runtime scalar riding
+# the kernels' scalar-prefetch operand next to the dropout seed.
+# ---------------------------------------------------------------------------
+
+def _chunk_of(Lc: int):
+    """Projection/FFN chunk width for a local shard of length Lc."""
+    for c in (FB_CHUNK, 256, 128):
+        if Lc % c == 0:
+            return c
+    return None
+
+
+def ring_fused_supported(cfg, L: int, n_seq: int, backend: str) -> bool:
+    """Gate for the per-shard fused path on a ``seq``-sharded mesh: the
+    fused-block shape rules applied to the LOCAL shard length L / n_seq."""
+    from .hstu_attention import _n_near
+    if not (getattr(cfg, "fused_block", False) and backend == "tpu"):
+        return False
+    if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
+        return False
+    if L % n_seq:
+        return False
+    Lc = L // n_seq
+    if Lc < 256 or Lc % FB_BLK or _chunk_of(Lc) is None:
+        return False
+    if cfg.hidden_units % cfg.num_heads or \
+            (cfg.hidden_units // cfg.num_heads) % 8:
+        return False
+    try:
+        _n_near(cfg.hstu_rel_pos_buckets, _attn_blk(Lc))
+    except ValueError:
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tiles_t_diff(rab, blk):
+    """Differentiable pre-transposed bias tiles with the SCATTER-FREE
+    Toeplitz backward (autodiff of the tile build emits a blk^2-duplicate
+    scatter-add that TPU serializes — the round-2 drab finding)."""
+    return _tiles_t(rab, blk)
+
+
+def _ttd_fwd(rab, blk):
+    return _tiles_t(rab, blk), rab.shape[1]
+
+
+def _ttd_bwd(blk, buckets, dt):
+    return (_bias_tiles_transpose(dt.transpose(0, 1, 3, 2), buckets),)
+
+
+tiles_t_diff.defvjp(_ttd_fwd, _ttd_bwd)
+
+
+def _pair_attn_fwd_kernel(s_ref, qt_ref, kt_ref, vt_ref, valid_ref,
+                          tilest_ref, avt_ref, acc_ref, *, n_tiles,
+                          num_heads, n_k_blocks):
+    """One (q-shard, kv-shard) pair of _fwd_attn_kernel_chunk: the global
+    block distance is d = qb - kb + off (off = s_ref[1], possibly negative —
+    kv from a future shard is fully masked and skipped)."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    d = qb - kb + s_ref[1]
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(d >= 0)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        kvn = _kvn_col(valid_ref)
+        slot = jnp.clip(d, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,)))
+            st = st + (tilest_ref[h, slot] + kvn)
+            at = jax.nn.silu(st).astype(cdt)
+            acc_ref[sl] += _dot(vt_ref[0, sl], at, ((1,), (0,)))
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        avt_ref[0] = acc_ref[...]
+
+
+def _pair_dq_kernel(s_ref, qt_ref, kt_ref, vt_ref, davt_ref, valid_ref,
+                    tilest_ref, dqt_ref, dtilest_ref, dq_acc, *, n_tiles,
+                    num_heads, n_k_blocks):
+    """Pair backward, q-major: dq^T w.r.t. the SCALED q (no trailing *scale
+    — the scale chain lives in ring_pre_proj's vjp) + transposed tile
+    grads."""
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    d = qb - kb + s_ref[1]
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(qb == 0, kb == 0)))
+    def _():
+        dtilest_ref[...] = jnp.zeros_like(dtilest_ref)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(d >= 0)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        kvn = _kvn_col(valid_ref)
+        slot = jnp.clip(d, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
+                + (tilest_ref[h, slot] + kvn)
+            dot_b = davt_ref[0, sl].astype(cdt)
+            dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
+            dst = dat * _dsilu(st)
+            dq_acc[sl] += _dot(kt_ref[0, sl], dst.astype(cdt), ((1,), (0,)))
+            dtilest_ref[h, slot] += dst
+
+    @pl.when(kb == n_k_blocks - 1)
+    def _():
+        dqt_ref[0] = dq_acc[...]
+
+
+def _pair_dkdv_kernel(s_ref, qt_ref, kt_ref, vt_ref, davt_ref, valid_ref,
+                      tilest_ref, dkt_ref, dvt_ref, dk_acc, dv_acc, *,
+                      n_tiles, num_heads, n_q_blocks):
+    """Pair backward, k-major: dk^T/dv^T for the local kv shard against ONE
+    (rotated-in) q shard."""
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    d = qb - kb + s_ref[1]
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(d >= 0)
+    def _():
+        cdt = qt_ref.dtype
+        D = qt_ref.shape[1]
+        hd = D // num_heads
+        kvn = _kvn_col(valid_ref)
+        slot = jnp.clip(d, 0, n_tiles - 1)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            st = _dot(kt_ref[0, sl], qt_ref[0, sl], ((0,), (0,))) \
+                + (tilest_ref[h, slot] + kvn)
+            dot_b = davt_ref[0, sl].astype(cdt)
+            at = jax.nn.silu(st).astype(cdt)
+            dv_acc[sl] += _dot(dot_b, at, ((1,), (1,)))
+            dat = _dot(vt_ref[0, sl], dot_b, ((0,), (0,)))
+            dst = (dat * _dsilu(st)).astype(cdt)
+            dk_acc[sl] += _dot(qt_ref[0, sl], dst, ((1,), (1,)))
+
+    @pl.when(qb == n_q_blocks - 1)
+    def _():
+        dkt_ref[0] = dk_acc[...]
+        dvt_ref[0] = dv_acc[...]
+
+
+def _pair_specs(D, blk, H, nt, kmajor=False):
+    """Block specs for a pair-attention grid. q-major grids iterate
+    (B, n_qb, n_kb); k-major (B, n_kb, n_qb)."""
+    if kmajor:
+        qix = lambda b, kb, qb, s: (b, 0, qb)      # noqa: E731
+        kix = lambda b, kb, qb, s: (b, 0, kb)      # noqa: E731
+        vix = lambda b, kb, qb, s: (b, kb, 0)      # noqa: E731
+        tix = lambda b, kb, qb, s: (0, 0, 0, 0)    # noqa: E731
+    else:
+        qix = lambda b, qb, kb, s: (b, 0, qb)      # noqa: E731
+        kix = lambda b, qb, kb, s: (b, 0, kb)      # noqa: E731
+        vix = lambda b, qb, kb, s: (b, kb, 0)      # noqa: E731
+        tix = lambda b, qb, kb, s: (0, 0, 0, 0)    # noqa: E731
+    return (pl.BlockSpec((1, D, blk), qix), pl.BlockSpec((1, D, blk), kix),
+            pl.BlockSpec((1, blk, 1), vix),
+            pl.BlockSpec((H, nt, blk, blk), tix))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def ring_pair_attn(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
+    """Partial HSTU attention of the local q shard against ONE kv shard.
+
+    ``qt`` [B, D, Lq] (pre-scaled), ``kt``/``vt`` [B, D, Lk] (v 1/L-scaled),
+    ``valid3`` [B, Lk, 1] int32 kv-validity, ``tilest`` pre-transposed bias
+    tiles, ``off`` runtime global block offset (q_blk_global - k_blk_global
+    for the (0, 0) tile pair). Returns the f32 partial [B, D, Lq] — ring
+    steps sum exactly (silu attention has no softmax state).
+    """
+    out, _ = _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret)
+    return out
+
+
+def _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
+    B, D, Lq = qt.shape
+    Lk = kt.shape[2]
+    blk = tilest.shape[-1]
+    H, nt = tilest.shape[0], tilest.shape[1]
+    nqb, nkb = Lq // blk, Lk // blk
+    s = jnp.stack([jnp.int32(0), off.astype(jnp.int32)])
+    qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nqb, nkb),
+        in_specs=[qs, ks, ks, vs, ts],
+        out_specs=pl.BlockSpec((1, D, blk), lambda b, qb, kb, s: (b, 0, qb)),
+        scratch_shapes=[pltpu.VMEM((D, blk), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_pair_attn_fwd_kernel, n_tiles=nt,
+                          num_heads=num_heads, n_k_blocks=nkb),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, D, Lq), jnp.float32),
+        interpret=interpret,
+    )(s, qt, kt, vt, valid3, tilest)
+    return out, (qt, kt, vt, valid3, tilest, off)
+
+
+def _rpa_bwd(num_heads, interpret, res, dav):
+    qt, kt, vt, valid3, tilest, off = res
+    B, D, Lq = qt.shape
+    Lk = kt.shape[2]
+    blk = tilest.shape[-1]
+    H, nt = tilest.shape[0], tilest.shape[1]
+    nqb, nkb = Lq // blk, Lk // blk
+    s = jnp.stack([jnp.int32(0), off.astype(jnp.int32)])
+    cdt = qt.dtype
+
+    qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
+    gs_dq = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nqb, nkb),
+        in_specs=[qs, ks, ks, qs, vs, ts],
+        out_specs=[pl.BlockSpec((1, D, blk),
+                                lambda b, qb, kb, s: (b, 0, qb)), ts],
+        scratch_shapes=[pltpu.VMEM((D, blk), jnp.float32)],
+    )
+    dqt, dtilest = pl.pallas_call(
+        functools.partial(_pair_dq_kernel, n_tiles=nt, num_heads=num_heads,
+                          n_k_blocks=nkb),
+        grid_spec=gs_dq,
+        out_shape=[jax.ShapeDtypeStruct((B, D, Lq), jnp.float32),
+                   jax.ShapeDtypeStruct((H, nt, blk, blk), jnp.float32)],
+        interpret=interpret,
+    )(s, qt, kt, vt, dav, valid3, tilest)
+
+    qs2, ks2, vs2, ts2 = _pair_specs(D, blk, H, nt, kmajor=True)
+    gs_dkdv = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nkb, nqb),
+        in_specs=[qs2, ks2, ks2, qs2, vs2, ts2],
+        out_specs=[pl.BlockSpec((1, D, blk),
+                                lambda b, kb, qb, s: (b, 0, kb))] * 2,
+        scratch_shapes=[pltpu.VMEM((D, blk), jnp.float32)] * 2,
+    )
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_pair_dkdv_kernel, n_tiles=nt,
+                          num_heads=num_heads, n_q_blocks=nqb),
+        grid_spec=gs_dkdv,
+        out_shape=[jax.ShapeDtypeStruct((B, D, Lk), jnp.float32)] * 2,
+        interpret=interpret,
+    )(s, qt, kt, vt, dav, valid3, tilest)
+    return (dqt.astype(cdt), dkt.astype(cdt), dvt.astype(cdt), None,
+            dtilest, None)
+
+
+ring_pair_attn.defvjp(_rpa_fwd, _rpa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def ring_pre_proj(xt, lnt, wuvqk, buvqkt, seq_len, num_heads, interpret):
+    """LN1 + uvqk projection + silu on the local shard: returns
+    (q^T pre-scaled, k^T, v^T 1/seq_len-scaled, u^T f32). ``seq_len`` is the
+    GLOBAL L (the HSTU 1/L normalization is global)."""
+    outs, _ = _rpp_fwd(xt, lnt, wuvqk, buvqkt, seq_len, num_heads, interpret)
+    return outs
+
+
+def _rpp_fwd(xt, lnt, wuvqk, buvqkt, seq_len, num_heads, interpret):
+    B, D, Lc = xt.shape
+    CH = _chunk_of(Lc)
+    nc = Lc // CH
+    hd = D // num_heads
+    cdt = xt.dtype
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH), _cfull((D, 6)), _cfull((D, 4 * D)),
+                  _cfull((4 * D, 1))],
+        out_specs=[_cblk(D, CH)] * 4,
+    )
+    seed1 = jnp.zeros((1,), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_pre_kernel_chunk, seq_len=seq_len,
+                          scale=hd ** -0.5, chunk=CH),
+        grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((B, D, Lc), cdt)] * 3
+        + [jax.ShapeDtypeStruct((B, D, Lc), jnp.float32)],
+        interpret=interpret,
+    )(seed1, xt, lnt, wuvqk, buvqkt)
+    return tuple(outs), (xt, lnt, wuvqk, buvqkt)
+
+
+def _rpp_bwd(seq_len, num_heads, interpret, res, cots):
+    xt, lnt, wuvqk, buvqkt = res
+    dqt, dkt, dvt, dut = cots
+    B, D, Lc = xt.shape
+    CH = _chunk_of(Lc)
+    nc = Lc // CH
+    hd = D // num_heads
+    f32 = jnp.float32
+    # _bwd_proj_kernel_chunk's slots: dq = grad w.r.t. silu output
+    # (= scale * d(q_scaled)); dv = d(v_scaled) (the kernel applies 1/L);
+    # the residual slot dyt is zero — the post unit owns the residual path.
+    dqt = dqt.astype(f32) * (hd ** -0.5)
+    zeros = jnp.zeros((B, D, Lc), f32)
+    seed1 = jnp.zeros((1,), jnp.int32)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH)] * 6 + [_cfull((D, 6)), _cfull((D, 4 * D)),
+                                       _cfull((4 * D, 1))],
+        out_specs=[_cblk(D, CH), _cfull((D, 2)), _cfull((D, 4 * D)),
+                   _cfull((4 * D, 1))],
+    )
+    dxt, dlnt01, dwuvqk, dbuvqkt = pl.pallas_call(
+        functools.partial(_bwd_proj_kernel_chunk, seq_len=seq_len, chunk=CH),
+        grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((B, D, Lc), xt.dtype),
+                   jax.ShapeDtypeStruct((D, 2), f32),
+                   jax.ShapeDtypeStruct((D, 4 * D), f32),
+                   jax.ShapeDtypeStruct((4 * D, 1), f32)],
+        interpret=interpret,
+    )(seed1, xt, zeros, dut.astype(f32), dqt, dkt.astype(f32),
+      dvt.astype(f32), lnt, wuvqk, buvqkt)
+    dlnt = jnp.concatenate([dlnt01, jnp.zeros((D, 4), f32)], axis=1)
+    return dxt, dlnt, dwuvqk, dbuvqkt
+
+
+ring_pre_proj.defvjp(_rpp_fwd, _rpp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def ring_post_gate(xt, avt, ut, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
+                   seedv, seq_len, num_heads, rate, train, interpret):
+    """LN2 gate + out-proj + residual + LN3 + SwiGLU FFN + residual on the
+    local shard. ``seedv``: runtime int32 dropout seed (fold the shard
+    indices in — every (data, seq) shard must draw distinct masks).
+    ``wuvqk``/``buvqkt`` feed the backward's projection recompute only
+    (zero cotangent here; ring_pre_proj owns their gradients)."""
+    out, _ = _rpg_fwd(xt, avt, ut, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
+                      seedv, seq_len, num_heads, rate, train, interpret)
+    return out
+
+
+def _rpg_fwd(xt, avt, ut, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seedv,
+             seq_len, num_heads, rate, train, interpret):
+    B, D, Lc = xt.shape
+    F = w2.shape[0]
+    CH = _chunk_of(Lc)
+    nc = Lc // CH
+    cdt = xt.dtype
+    seed1 = jnp.reshape(seedv, (1,)).astype(jnp.int32)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH), _cblk(D, CH), _cblk(D, CH),
+                  _cfull((D, 6)), _cfull((D, D)), _cfull((D, 1)),
+                  _cfull((D, 2 * F)), _cfull((F, D))],
+        out_specs=_cblk(D, CH),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_post_kernel_chunk, rate=rate, train=train,
+                          chunk=CH, n_chunks=nc),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, D, Lc), cdt),
+        interpret=interpret,
+    )(seed1, xt, avt.astype(cdt), ut, lnt, wo, bot, w13, w2)
+    return out, (xt, avt, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seed1)
+
+
+def _rpg_bwd(seq_len, num_heads, rate, train, interpret, res, dout):
+    xt, avt, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seed1 = res
+    B, D, Lc = xt.shape
+    F = w2.shape[0]
+    CH = _chunk_of(Lc)
+    nc = Lc // CH
+    hd = D // num_heads
+    f32 = jnp.float32
+    cdt = xt.dtype
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, nc),
+        in_specs=[_cblk(D, CH), _cblk(D, CH), _cblk(D, CH),
+                  _cfull((D, 6)), _cfull((D, 4 * D)), _cfull((4 * D, 1)),
+                  _cfull((D, D)), _cfull((D, 1)), _cfull((D, 2 * F)),
+                  _cfull((F, D))],
+        out_specs=[_cblk(D, CH)] * 6 + [_cfull((D, 4)), _cfull((D, D)),
+                                        _cfull((D, 1)), _cfull((D, 2 * F)),
+                                        _cfull((F, D))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_gate_kernel_chunk, seq_len=seq_len,
+                          num_heads=num_heads, scale=hd ** -0.5, rate=rate,
+                          train=train, chunk=CH, n_chunks=nc),
+        grid_spec=gs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, Lc), cdt),   # q^T recompute (unused)
+            jax.ShapeDtypeStruct((B, D, Lc), cdt),   # k^T recompute (unused)
+            jax.ShapeDtypeStruct((B, D, Lc), cdt),   # v^T recompute (unused)
+            jax.ShapeDtypeStruct((B, D, Lc), f32),   # dav^T
+            jax.ShapeDtypeStruct((B, D, Lc), f32),   # dy^T (residual dx)
+            jax.ShapeDtypeStruct((B, D, Lc), f32),   # du^T
+            jax.ShapeDtypeStruct((D, 4), f32),       # dlnt cols 2..5
+            jax.ShapeDtypeStruct((D, D), f32),
+            jax.ShapeDtypeStruct((D, 1), f32),
+            jax.ShapeDtypeStruct((D, 2 * F), f32),
+            jax.ShapeDtypeStruct((F, D), f32),
+        ],
+        interpret=interpret,
+    )(seed1, xt, avt.astype(cdt), dout, lnt, wuvqk, buvqkt, wo, bot, w13,
+      w2)
+    _, _, _, davt, dyt, dut, dlnt25, dwo, dbot, dw13, dw2 = outs
+    dlnt = jnp.concatenate([jnp.zeros((D, 2), f32), dlnt25], axis=1)
+    return (dyt.astype(cdt), davt.astype(avt.dtype), dut, dlnt, None, None,
+            dwo, dbot, dw13, dw2, None)
+
+
+ring_post_gate.defvjp(_rpg_fwd, _rpg_bwd)

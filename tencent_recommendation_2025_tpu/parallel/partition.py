@@ -152,7 +152,18 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
             # STACKED tower-dedup plan ([S, cap...] / [S, site...] leaves,
             # one column per data shard — trainer.augment_batch_dedup):
             # shard the stack dim so the vmapped tower + spreads stay
-            # shard-local (models/baseline.dedup_spreads)
+            # shard-local (models/baseline.dedup_spreads). Keyed on the
+            # leaf SHAPE too, not just the name: a single-device 1-D plan
+            # landing on a data>1 mesh would silently mis-spread along the
+            # capacity/site dim — fail loudly instead.
+            S = mesh.shape.get("pipe", 1) * mesh.shape["data"]
+            if getattr(leaf, "ndim", 0) < 1 or leaf.shape[0] != S:
+                raise ValueError(
+                    f"stacked tower-dedup leaf {s!r} has shape "
+                    f"{getattr(leaf, 'shape', ())} — expected leading dim "
+                    f"{S} (one column per data shard); was the batch "
+                    "prepared with augment_batch_dedup(n_data_shards="
+                    f"{S})?")
             return NamedSharding(mesh, P(("pipe", "data")))
         if s.startswith(("touched_uids", "tshard_", "sparse_plans",
                          "scatter_", "sampled_neg_ids", "dedup_")):

@@ -1,0 +1,107 @@
+"""Per-shard FUSED blocks on seq-sharded meshes (round 5, VERDICT r4 #4).
+
+The seq>1 multi-chip path previously ran the UNFUSED per-shard block (dense
+XLA elementwise + the ring attention einsums) — the ~4%-MFU operating point
+the round-2 roofline condemned, on exactly the long-context configs that
+need the fused kernels most (SURVEY §5 long-context; the O1-seq-1024 north
+star). Here the whole block stack runs inside ONE shard_map over
+("data", "seq"):
+
+- each device holds its [B/dp, D, L/S] activation shard TRANSPOSED (the
+  round-4 [D, L] layout — full VREG lanes at D=64);
+- per block: ``ring_pre_proj`` (fused LN1+uvqk+silu Pallas stage) →
+  an S-step ring in which K/V/validity rotate one ICI hop per step
+  (``ppermute``) while ``ring_pair_attn`` computes the (q-shard, kv-shard)
+  pair with a runtime global-block offset — HSTU silu attention is
+  additive, so per-pair f32 partials sum EXACTLY (no softmax state) →
+  ``ring_post_gate`` (fused gate/out-proj/FFN stage);
+- gradients flow through plain JAX autodiff: the three units carry their
+  own custom VJPs (ops/fused_block.py) and ppermute differentiates to the
+  inverse rotation, which routes each kv shard's dk/dv contributions back
+  around the ring; replicated weight inputs psum their cotangents via the
+  shard_map transpose.
+
+Masking/bias exactness: the global block distance d = (qb - kb) +
+(q_shard - kv_shard) * blocks_per_shard drives the rel-pos tile slot and
+the causal skip (d < 0 ⇒ fully-masked future pair, skipped), so numerics
+match the single-device chunked kernels tile-for-tile; the 1/L scaling
+uses the GLOBAL L. The dropout PRNG folds (seq, data) shard indices into
+the seed so every shard draws distinct masks.
+
+Replaces nothing in the reference — it has no multi-chip story at all
+(single device, ``model/BaseLine/main.py:32``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import fused_block as FB
+
+
+def _ring_fused_block(xt, bp, valid3, seed, si, di, n_seq, cfg, use_dropout,
+                      interpret):
+    """One fused HSTU block on the local [B, D, Lc] shard (inside the
+    shard_map; ``si``/``di`` = seq/data axis indices)."""
+    cdt = xt.dtype
+    B, D, Lc = xt.shape
+    L = Lc * n_seq
+    rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2 = FB._block_operands(bp, cdt)
+    blk = FB._attn_blk(Lc)
+    tilest = FB.tiles_t_diff(rab, blk)
+    nlb = Lc // blk
+
+    q, k, v, u = FB.ring_pre_proj(xt, lnt, wuvqk, buvqkt, L,
+                                  cfg.num_heads, interpret)
+    acc = jnp.zeros((B, D, Lc), jnp.float32)
+    k_cur, v_cur, val_cur = k, v, valid3
+    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+    for step in range(n_seq):
+        src = (si - step) % n_seq
+        off = (si - src) * nlb          # negative ⇒ future shard, masked
+        acc = acc + FB.ring_pair_attn(q, k_cur, v_cur, val_cur, tilest,
+                                      off, cfg.num_heads, interpret)
+        if step + 1 < n_seq:
+            k_cur = jax.lax.ppermute(k_cur, "seq", perm)
+            v_cur = jax.lax.ppermute(v_cur, "seq", perm)
+            val_cur = jax.lax.ppermute(val_cur, "seq", perm)
+    avt = acc.astype(cdt)
+
+    sd = (seed + si * jnp.int32(1000003) + di * jnp.int32(10007)) \
+        if use_dropout else jnp.int32(0)
+    return FB.ring_post_gate(xt, avt, u, lnt, wuvqk, buvqkt, wo, bot, w13,
+                             w2, sd, L, cfg.num_heads,
+                             float(cfg.dropout_rate), bool(use_dropout),
+                             interpret)
+
+
+def ring_fused_encode(mesh: Mesh, blocks, x, token_type, seeds, cfg,
+                      use_dropout: bool, interpret: bool = False):
+    """Run the stacked block params over ``x`` [B, L, D] with per-shard
+    fused kernels + ring attention; returns [B, L, D] (pre-final-LN)."""
+    S = mesh.shape["seq"]
+
+    def local(blocks, seeds, xt_l, tt_l):
+        si = jax.lax.axis_index("seq")
+        di = jax.lax.axis_index("data")
+        valid3 = (tt_l != 0).astype(jnp.int32)[:, :, None]
+
+        def body(xt, scanned):
+            bp, sd = scanned
+            return _ring_fused_block(xt, bp, valid3, sd, si, di, S, cfg,
+                                     use_dropout, interpret), None
+
+        out, _ = jax.lax.scan(body, xt_l, (blocks, seeds))
+        return out
+
+    xt = jnp.swapaxes(x, 1, 2)                        # [B, D, L]
+    xt_spec = P("data", None, "seq")
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), blocks), P(), xt_spec,
+                  P("data", "seq")),
+        out_specs=xt_spec, check_vma=False)
+    out_t = fn(blocks, seeds, xt, token_type)
+    return jnp.swapaxes(out_t, 1, 2)

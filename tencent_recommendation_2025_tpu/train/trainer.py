@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
+from pathlib import Path
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -148,21 +149,21 @@ def device_tables(item_tables: ItemFeatureTables) -> Dict[str, Any]:
 def compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                  cfg: Config, train: bool, rng,
                  mesh=None) -> Tuple[jnp.ndarray, Dict]:
-    loss, metrics = _compute_loss(model, params, batch, mm_tables,
-                                  item_tables, cfg, train, rng, mesh)
-    ovf = getattr(model, "_ep_overflow", None)
-    if ovf is not None:
+    from ..models.baseline import ep_overflow_scope
+
+    with ep_overflow_scope() as scope:
+        loss, metrics = _compute_loss(model, params, batch, mm_tables,
+                                      item_tables, cfg, train, rng, mesh)
+    if scope.counts:
         # ids that overflowed an a2a bucket returned zero embeddings and
         # dropped their gradients — surface the count (alert on > 0)
-        metrics = dict(metrics, ep_overflow=ovf)
-        object.__setattr__(model, "_ep_overflow", None)
+        metrics = dict(metrics, ep_overflow=sum(scope.counts))
     return loss, metrics
 
 
 def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
                   cfg: Config, train: bool, rng,
                   mesh=None) -> Tuple[jnp.ndarray, Dict]:
-    object.__setattr__(model, "_ep_overflow", None)
     ppm = cfg.mesh.pp_microbatches
     if cfg.train.loss_type == "sampled_softmax":
         rng, neg_rng, inb_rng = jax.random.split(rng, 3) if rng is not None \
@@ -311,6 +312,28 @@ def tower_dedup_capacity(cfg: Config, itemnum: int,
     return max(16, -(-cap // 8) * 8)
 
 
+class _DedupOverflow(Exception):
+    def __init__(self, unique: int, cap: int):
+        super().__init__(unique, cap)
+        self.unique, self.cap = unique, cap
+
+
+#: rate-limited tower-dedup fallback warnings: count of fallbacks so far
+#: (warn on the first, then every 1000th — a mostly-unique stream would
+#: otherwise spam one line per batch)
+_DEDUP_FALLBACKS = {"n": 0}
+
+
+def _warn_dedup_fallback(e: "_DedupOverflow") -> None:
+    n = _DEDUP_FALLBACKS["n"] = _DEDUP_FALLBACKS["n"] + 1
+    if n == 1 or n % 1000 == 0:
+        print(f"WARNING: tower-dedup fallback #{n}: {e.unique} unique "
+              f"candidate ids exceed the static capacity {e.cap}; this "
+              "batch trains through the dense per-position towers (exact, "
+              "just slower). If most batches fall back, raise "
+              "train.tower_dedup_cap_frac or disable train.tower_dedup.")
+
+
 def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
                         step_key=None, n_data_shards: int = 1):
     """HOST-side tower-dedup prep (``cfg.train.tower_dedup``), run in the
@@ -332,8 +355,13 @@ def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
     cumsum schedule instead of n_positions identical tower backwards.
 
     Runs BEFORE augment_batch_sparse so the sparse prep can key its item_emb
-    lookup plan on ``dedup_uids`` (site "dedup"). Raises (never truncates)
-    when a batch's unique count exceeds the static capacity.
+    lookup plan on ``dedup_uids`` (site "dedup"). When a batch's unique
+    count exceeds the static capacity the prep DEGRADES TO NEUTRAL: the
+    batch ships un-dedup'd (dense per-position towers — one extra cached
+    trace) with a rate-limited warning, instead of killing the run
+    mid-epoch. Truncating would be silently wrong; raising killed
+    production-scale runs whose candidate streams are mostly-unique
+    (round-4 weak #4) — the flagship preset defaults dedup on.
 
     With ``n_data_shards`` = S > 1 (pure data-parallel meshes) the prep is
     PER SHARD: the batch's row blocks (shard_batch's contiguous leading-dim
@@ -366,32 +394,33 @@ def augment_batch_dedup(batch, cfg: Config, item_feats, itemnum: int,
     def shard_plan(sites):
         u = np.unique(np.concatenate([i.reshape(-1) for _, i in sites]))
         if len(u) > cap:
-            raise ValueError(
-                f"tower-dedup: {len(u)} unique candidate ids exceed the "
-                f"static capacity {cap} — raise train.tower_dedup_cap_frac "
-                f"(= {cfg.train.tower_dedup_cap_frac}) or disable "
-                f"train.tower_dedup")
+            raise _DedupOverflow(len(u), cap)
         uids = np.full((cap,), itemnum + 1, np.int32)  # sentinel sorts last
         uids[:len(u)] = u
         return uids, {site: build_lookup_plan(uids, ids)
                       for site, ids in sites}
 
-    if S == 1:
-        uids, plans = shard_plan([("seq", seq_ids), ("pos_last", pos_last),
-                                  ("negs", negs)])
-    else:
-        rows = B // S
-        per = []
-        for s in range(S):
-            sl = slice(s * rows, (s + 1) * rows)
-            sites = [("seq", seq_ids[sl]), ("pos_last", pos_last[sl])]
-            if not ss:
-                sites.append(("negs", negs[sl]))
-            per.append(shard_plan(sites))
-        uids = np.stack([u for u, _ in per])               # [S, cap]
-        plans = {site: {k: np.stack([p[site][k] for _, p in per])
-                        for k in per[0][1][site]}
-                 for site in per[0][1]}
+    try:
+        if S == 1:
+            uids, plans = shard_plan([("seq", seq_ids),
+                                      ("pos_last", pos_last),
+                                      ("negs", negs)])
+        else:
+            rows = B // S
+            per = []
+            for s in range(S):
+                sl = slice(s * rows, (s + 1) * rows)
+                sites = [("seq", seq_ids[sl]), ("pos_last", pos_last[sl])]
+                if not ss:
+                    sites.append(("negs", negs[sl]))
+                per.append(shard_plan(sites))
+            uids = np.stack([u for u, _ in per])               # [S, cap]
+            plans = {site: {k: np.stack([p[site][k] for _, p in per])
+                            for k in per[0][1][site]}
+                     for site in per[0][1]}
+    except _DedupOverflow as e:
+        _warn_dedup_fallback(e)
+        return out  # un-dedup'd: per-position features intact, dense trace
     out["dedup_uids"] = uids
     safe = np.where(uids <= itemnum, uids, 0)        # sentinel -> zero row
     out["dedup_sparse"] = item_feats.sparse[safe].astype(np.int32)
@@ -503,9 +532,15 @@ def augment_batch_sparse(batch, cfg: Config, itemnum: int, step_key,
                 * validk
             plans = {"user": build_lookup_plan(uids, uk)}
         elif "dedup_uids" in out:
-            # tower dedup on: the ONLY item_emb lookup site is the dedup'd
-            # tower's id column (augment_batch_dedup runs first)
+            # tower dedup on: the main item_emb lookup site is the dedup'd
+            # tower's id column (augment_batch_dedup runs first); the
+            # STACKED sampled-softmax mode towers the shared negatives
+            # directly, so they need their own touched-row plan
             plans = {"dedup": build_lookup_plan(uids, out["dedup_uids"])}
+            if np.asarray(out["dedup_uids"]).ndim == 2 and \
+                    cfg.train.loss_type == "sampled_softmax":
+                plans["negs"] = build_lookup_plan(uids,
+                                                  out["sampled_neg_ids"])
         else:
             plans = {"seq": build_lookup_plan(
                 uids, np.where(out["token_type"] == 1, out["seq"], 0))}
@@ -813,6 +848,9 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                num_epochs: Optional[int] = None,
                start_epoch: int = 0,
                mesh=None,
+               profile_steps: int = 0,
+               profile_dir: Optional[str] = None,
+               profile_start: int = 4,
                verbose: bool = True) -> TrainState:
     """The reference epoch loop (main.py:154-269): train epochs with per-step
     telemetry, full validation pass per epoch, checkpoint per epoch.
@@ -822,6 +860,11 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     ``epoch_start_idx`` resume semantics (``main.py:118-127``, loop ``:154``).
     The step counter resumes from ``state.step`` so checkpoint dir names
     (``global_step{N}``) stay monotone across restarts.
+
+    ``profile_steps`` > 0 captures a jax.profiler trace (TensorBoard-
+    viewable, SURVEY §5 tracing) around train steps ``profile_start`` ..
+    ``profile_start + profile_steps - 1`` into ``profile_dir`` — the default
+    start skips the compile-laden first steps.
 
     With ``mesh``, the whole loop runs sharded: DP batches, TP projections,
     row-sharded (EP) tables, SP ring attention — see setup_training.
@@ -853,18 +896,16 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # Tower dedup gate: single-process, and the mesh (if any) must be pure
     # data-parallel — the stacked [S, cap] plan vmaps over data shards;
     # model/seq/pipe sharding would split the tower itself. Sparse tables
-    # compose on a single device (plan site "dedup"); the stacked x sharded-
-    # table composition is not wired.
+    # compose both single-device (plan site "dedup") and stacked on data
+    # meshes (the touched-row plans key on the stacked [S, cap] id column).
     n_dp = 1 if mesh is None else int(mesh.shape.get("data", 1))
     dedup_on = (cfg.train.tower_dedup and jax.process_count() == 1
                 and (mesh is None
                      or all(mesh.shape.get(a, 1) == 1
-                            for a in ("model", "seq", "pipe")))
-                and not (cfg.train.sparse_tables and n_dp > 1))
+                            for a in ("model", "seq", "pipe"))))
     if cfg.train.tower_dedup and not dedup_on:
         print("WARNING: train.tower_dedup needs a single-process pure "
-              "data-parallel mesh (and no sparse tables when data > 1) — "
-              "disabled for this run")
+              "data-parallel mesh — disabled for this run")
 
     pending = []  # (record-dict-without-loss, device metrics)
     step_flops = analytic_step_flops(cfg, model, tower_dedup=dedup_on,
@@ -961,15 +1002,34 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     if start_epoch >= epochs and verbose:
         print(f"resume: {start_epoch}/{epochs} epochs already trained — "
               "nothing to do")
+    # --profile_steps window (1-based tick count within THIS run): start
+    # the jax.profiler trace before step `profile_start`, stop after
+    # `profile_start + profile_steps - 1` completes on device
+    prof_on = bool(profile_steps and profile_dir)
+    prof_active = False
+    ticks = 0
+
     crashed = False
     try:
         for epoch in range(start_epoch + 1, epochs + 1):
             for step, batch in enumerate(
                     prefetch_to_device(epoch_batches(epoch),
                                        device_put=put_batch)):
+                ticks += 1
+                if prof_on and not prof_active and ticks == profile_start:
+                    Path(profile_dir).mkdir(parents=True, exist_ok=True)
+                    jax.profiler.start_trace(str(profile_dir))
+                    prof_active = True
                 t0 = time.time()
                 state, metrics = train_step(state, batch, mm_tables, tables,
                                             rng)
+                if prof_active and \
+                        ticks >= profile_start + profile_steps - 1:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    if verbose:
+                        print(f"profiler: trace written to {profile_dir}")
                 rec = timer.tick(time.time() - t0)
                 rec.update({"global_step": timer.global_step, "epoch": epoch,
                             "step": step})
@@ -1015,6 +1075,11 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         crashed = True
         raise
     finally:
+        if prof_active:   # run too short / crashed mid-window
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         # Join any in-flight async save even on a crash: the supervisor
         # restarts from latest_checkpoint and must not race the background
         # writer (a .tmp mid-write is ignored, but the restart would then

@@ -27,6 +27,24 @@ from tencent_recommendation_2025_tpu.train.trainer import (device_tables,
                                                            train_loop)
 
 
+def test_profile_steps_writes_trace(small_setup, tmp_path):
+    """--profile_steps (SURVEY §5 tracing): train_loop brackets the chosen
+    step window with jax.profiler and a TensorBoard-viewable trace dir
+    materializes."""
+    cfg = small_setup["cfg"].replace(
+        train=TrainConfig(batch_size=16, num_epochs=1, lr=1e-2))
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           small_setup["model"].cfg.maxlen)
+    tr, _ = train_val_split(len(sampler), 0.1, 0)
+    tl = TrainLoader(sampler, tr, cfg.train.batch_size, seed=0)
+    prof = tmp_path / "profile"
+    train_loop(small_setup["model"], cfg, tl, None, small_setup["tables"],
+               profile_steps=1, profile_dir=str(prof), profile_start=1,
+               verbose=False)
+    traces = list(prof.rglob("*"))
+    assert any(p.is_file() for p in traces), traces
+
+
 def test_train_retrieve_eval(small_setup, tmp_path):
     cfg = small_setup["cfg"].replace(
         train=TrainConfig(batch_size=16, num_epochs=2, lr=1e-2))

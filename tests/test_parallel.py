@@ -265,6 +265,47 @@ def test_dense_mesh_step_routes_through_explicit_a2a(small_setup):
     assert int(metrics["ep_overflow"]) == 0
 
 
+def test_ep_overflow_scope_isolates_interleaved_traces():
+    """VERDICT r4 item 9: the overflow accumulator is trace-pure — two
+    threads tracing concurrently through ep_overflow_scope each collect only
+    their own counts (the old object.__setattr__ on the shared frozen model
+    would interleave); nesting save/restores the outer scope."""
+    import threading
+    import time as _t
+
+    from tencent_recommendation_2025_tpu.models.baseline import (
+        _EP_OVERFLOW_ACC, ep_overflow_scope)
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def worker(name, value, delay):
+        with ep_overflow_scope() as scope:
+            barrier.wait()          # both threads inside their scopes
+            _t.sleep(delay)
+            acc = _EP_OVERFLOW_ACC.get()
+            acc.append(value)       # what _ep_override does mid-trace
+            _t.sleep(0.05 - delay)
+            results[name] = list(scope.counts)
+
+    ts = [threading.Thread(target=worker, args=("a", 1, 0.0)),
+          threading.Thread(target=worker, args=("b", 2, 0.02))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {"a": [1], "b": [2]}
+
+    # nesting restores the outer accumulator
+    with ep_overflow_scope() as outer:
+        _EP_OVERFLOW_ACC.get().append(10)
+        with ep_overflow_scope() as inner:
+            _EP_OVERFLOW_ACC.get().append(20)
+        _EP_OVERFLOW_ACC.get().append(30)
+    assert outer.counts == [10, 30] and inner.counts == [20]
+    assert _EP_OVERFLOW_ACC.get() is None
+
+
 def test_dense_bigtable_mixed_mesh_warns(mesh8):
     """VERDICT r3 item 6: a >=1M-row dense table on a mesh with model>1
     warns (XLA default SPMD all-reduces the full table gradient there);

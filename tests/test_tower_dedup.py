@@ -250,14 +250,102 @@ def test_dedup_stacked_ss_negs_fallback(small_setup):
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=2e-5)
 
 
-def test_dedup_capacity_overflow_raises(small_setup):
+def test_dedup_capacity_overflow_falls_back(small_setup, capsys):
+    """Capacity overflow DEGRADES TO NEUTRAL (round-4 weak #4): the batch
+    ships un-dedup'd — per-position features intact, no dedup keys — with a
+    rate-limited warning, and the dense trace trains it exactly. A
+    production 10M-vocab run with the flagship defaults must survive
+    mostly-unique batches, not crash mid-epoch."""
+    from tencent_recommendation_2025_tpu.train import trainer as TR
+
     dense_cfg, dedup_cfg = _cfgs(small_setup)
     tiny = dedup_cfg.replace(train=dataclasses.replace(
         dedup_cfg.train, tower_dedup_cap_frac=1e-4))
     batch = _one_batch(small_setup, dense_cfg)
-    with pytest.raises(ValueError, match="tower_dedup_cap_frac"):
-        augment_batch_dedup(batch, tiny, small_setup["tables"],
-                            small_setup["model"].itemnum)
+    TR._DEDUP_FALLBACKS["n"] = 0
+    out = augment_batch_dedup(batch, tiny, small_setup["tables"],
+                              small_setup["model"].itemnum)
+    assert "dedup_uids" not in out
+    assert "seq_item_sparse" in out and "pos_item_sparse" in out
+    assert "tower-dedup fallback #1" in capsys.readouterr().out
+    # second overflow is silent (rate-limited)
+    augment_batch_dedup(batch, tiny, small_setup["tables"],
+                        small_setup["model"].itemnum)
+    assert "fallback" not in capsys.readouterr().out
+
+    # the fallback batch trains through the dense trace bit-for-bit
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    key = jax.random.key(7)
+    outs = {}
+    for name, b in (("dense", batch), ("fallback", out)):
+        tx = make_optimizer(tiny)
+        state = init_state(model, tx, tiny.train.seed, cfg=tiny)
+        state, m = make_train_step(model, tx, tiny)(
+            state, jax.device_put(b), tables["mm"], tables, key)
+        outs[name] = float(m["loss"])
+    assert outs["dense"] == pytest.approx(outs["fallback"], rel=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_dedup_stacked_with_sparse_table_matches_dense(small_setup):
+    """STACKED dedup x sparse item_emb on an 8-device data mesh (round-4
+    verdict item 5b — the sharded_multihost operating point): the full
+    sharded gather-train step with the stacked tower + spreads matches the
+    single-device dense step, loss and updated table contents."""
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.ops import sparse_table as ST
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    sp_cfg = dedup_cfg.replace(
+        mesh=MeshConfig(data=8),
+        train=dataclasses.replace(dedup_cfg.train,
+                                  sparse_tables=("item_emb",)))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, dense_cfg)
+    key = jax.random.key(7)
+
+    tx = make_optimizer(dense_cfg)
+    s0 = init_state(model, tx, dense_cfg.train.seed, cfg=dense_cfg)
+    s0, m0 = make_train_step(model, tx, dense_cfg)(
+        s0, jax.device_put(batch), tables["mm"], tables, key)
+
+    mesh = build_mesh(sp_cfg.mesh)
+    aug = augment_batch_dedup(batch, sp_cfg, small_setup["tables"],
+                              model.itemnum, n_data_shards=8)
+    aug = augment_batch_sparse(aug, sp_cfg, model.itemnum, (0, 5),
+                               n_table_shards=ST.mesh_table_shards(mesh))
+    assert aug["dedup_uids"].ndim == 2 and "dedup" in aug["sparse_plans"]
+    state, tx_m = PT.init_sharded_state(model, sp_cfg, mesh)
+    stables = PT.shard_tables(mesh, tables)
+    step_m = PT.make_sharded_train_step(model, tx_m, sp_cfg, mesh)
+    state, m = step_m(state, PT.shard_batch(mesh, aug), stables["mm"],
+                      stables, key)
+    assert float(m["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-5)
+    V = model.itemnum + 1
+    np.testing.assert_allclose(
+        np.asarray(state.params["item_emb"])[:V],
+        np.asarray(s0.params["item_emb"]), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_stacked_partition_rejects_flat_plan(small_setup):
+    """ADVICE r4: a single-device 1-D dedup plan on a data>1 mesh must fail
+    loudly at sharding time, not silently spread along the capacity dim."""
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.parallel import partition
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    batch = _one_batch(small_setup, dense_cfg)
+    flat = augment_batch_dedup(batch, dedup_cfg, small_setup["tables"],
+                               small_setup["model"].itemnum)  # 1-D plan
+    mesh = build_mesh(MeshConfig(data=8))
+    with pytest.raises(ValueError, match="stacked tower-dedup"):
+        partition.batch_shardings(mesh, flat)
 
 
 def test_tower_dedup_capacity_clamps():
