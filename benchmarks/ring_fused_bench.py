@@ -146,6 +146,16 @@ def main():
         float(out[0])
         return (time.perf_counter() - t0 - t_small) / 10
 
+    # HW numerics: both variants compute the SAME per-shard math — pin the
+    # ring kernels' on-hardware forward against the XLA oracle (bf16 band)
+    out_f = jnp.swapaxes(fused_block(jnp.swapaxes(x, 1, 2), bp), 1, 2)
+    out_u = unfused_block(x, bp)
+    err = float(jnp.max(jnp.abs(out_f.astype(f32) - out_u.astype(f32)))
+                / (jnp.max(jnp.abs(out_u.astype(f32))) + 1e-9))
+    print(json.dumps({"metric": "ring_fused_hw_fwd_rel_err",
+                      "value": round(err, 5)}), flush=True)
+    assert err < 3e-2, f"ring-fused HW forward mismatch: rel err {err}"
+
     t_unfused = slope(unfused_step)
     t_fused = slope(fused_step)
     for name, t in (("unfused", t_unfused), ("fused", t_fused)):
