@@ -269,7 +269,11 @@ def sharded_multihost() -> Config:
         train=TrainConfig(loss_type="sampled_softmax", l2_emb=0.0,
                           weight_decay=0.01,
                           sparse_tables=("item_emb",),
-                          table_optimizer="rowwise_adagrad"),
+                          table_optimizer="rowwise_adagrad",
+                          # stacked [S, cap] dedup over the data axis; the
+                          # TP'd tower weights shard under SPMD around it
+                          # (round 5 — the sparse path has no a2a conflict)
+                          tower_dedup=True),
         mesh=MeshConfig(data=4, model=2),
     )
 

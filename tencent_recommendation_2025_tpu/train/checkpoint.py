@@ -345,10 +345,13 @@ def _convert_layout(arr: np.ndarray, tshape,
             if 0 <= rows - V < 32:
                 return np.ascontiguousarray(arr.reshape(rows, D)[:V])
     if arr.ndim == 1 and len(tshape) == 1 and \
-            0 < abs(arr.shape[0] - tshape[0]) < 32 and \
-            max(arr.shape[0], tshape[0]) % 32 == 0:
+            0 < abs(arr.shape[0] - tshape[0]) < 32:
         # rowwise accumulator across the pad-row boundary (configs already
-        # matched — only the physical row padding differs)
+        # matched — only the physical row padding differs). Pads come from
+        # BOTH packing (32-multiples) and mesh row-sharding (shard-count
+        # multiples, e.g. 5001 -> 5008 on 8 shards — a mesh-trained
+        # rowwise-Adagrad state must restore single-device), so the bound
+        # mirrors the 2-D rule; _repad_rows refuses to cut non-zero rows.
         return _repad_rows(arr, tshape, path)
     if arr.ndim == 2 and len(tshape) == 2 and arr.shape[1] == tshape[1] \
             and 0 < abs(arr.shape[0] - tshape[0]) < 32:

@@ -893,19 +893,27 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     # steps — a per-step ``float(loss)`` would force a host<->device sync
     # per step and serialize the pipeline (the reference syncs every step,
     # ``main.py:206``; on TPU that can dominate step time).
-    # Tower dedup gate: single-process, and the mesh (if any) must be pure
-    # data-parallel — the stacked [S, cap] plan vmaps over data shards;
-    # model/seq/pipe sharding would split the tower itself. Sparse tables
-    # compose both single-device (plan site "dedup") and stacked on data
-    # meshes (the touched-row plans key on the stacked [S, cap] id column).
+    # Tower dedup gate: single-process, no seq/pipe sharding (the stacked
+    # [S, cap] plan vmaps over DATA shards; seq would split the positions a
+    # plan indexes, pipe the blocks). model>1 composes ONLY with sparse
+    # item_emb: the TP'd tower weights shard under XLA SPMD around the
+    # batch-shaped dedup column, and the gathered-rows path has no a2a to
+    # conflict with (a DENSE table on a model>1 mesh would ride XLA's
+    # full-gradient all-reduce — the _warn_dense_bigtable_mixed_mesh case).
+    # Sparse tables compose both single-device (plan site "dedup") and
+    # stacked on data meshes (touched-row plans key on the [S, cap] column).
     n_dp = 1 if mesh is None else int(mesh.shape.get("data", 1))
     dedup_on = (cfg.train.tower_dedup and jax.process_count() == 1
                 and (mesh is None
-                     or all(mesh.shape.get(a, 1) == 1
-                            for a in ("model", "seq", "pipe"))))
+                     or (all(mesh.shape.get(a, 1) == 1
+                             for a in ("seq", "pipe"))
+                         and (mesh.shape.get("model", 1) == 1
+                              or "item_emb" in (cfg.train.sparse_tables
+                                                or ())))))
     if cfg.train.tower_dedup and not dedup_on:
-        print("WARNING: train.tower_dedup needs a single-process pure "
-              "data-parallel mesh — disabled for this run")
+        print("WARNING: train.tower_dedup needs a single-process mesh "
+              "without seq/pipe sharding (model>1 only with sparse "
+              "item_emb) — disabled for this run")
 
     pending = []  # (record-dict-without-loss, device metrics)
     step_flops = analytic_step_flops(cfg, model, tower_dedup=dedup_on,

@@ -202,9 +202,21 @@ def test_layout_conversion_rejects_genuine_skew(tmp_path):
     with pytest.raises(ValueError, match="shape"):
         CK.load_checkpoint(ckpt, {"item_emb": jnp.zeros((100, 64)),
                                   "acc": jnp.zeros((160,))})  # diff >= 32
-    with pytest.raises(ValueError, match="shape"):
-        CK.load_checkpoint(ckpt, {"item_emb": jnp.zeros((100, 64)),
-                                  "acc": jnp.zeros((120,))})  # not 32-padded
+    # a 1-D accumulator whose surplus rows carry TRAINED data (genuine
+    # vocab skew, not shard padding) still fails loudly
+    CK.save_checkpoint(tmp_path / "acc1", {"acc": jnp.ones((108,))},
+                       global_step=1)
+    with pytest.raises(ValueError, match="NOT all zero"):
+        CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "acc1"),
+                           {"acc": jnp.zeros((100,))})
+    # mesh shard-count padding (5001 -> 5008 on 8 shards) converts — the
+    # round-5 sharded_multihost restore bug: rowwise-Adagrad state saved
+    # mesh-padded must restore into the single-device template
+    padded = jnp.concatenate([jnp.ones((100,)), jnp.zeros((4,))])
+    CK.save_checkpoint(tmp_path / "acc2", {"acc": padded}, global_step=1)
+    got, _ = CK.load_checkpoint(CK.latest_checkpoint(tmp_path / "acc2"),
+                                {"acc": jnp.zeros((100,))})
+    assert (np.asarray(got["acc"]) == 1).all()
 
 
 def test_row_cut_refuses_trained_rows(tmp_path):

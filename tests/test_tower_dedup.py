@@ -332,6 +332,50 @@ def test_dedup_stacked_with_sparse_table_matches_dense(small_setup):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_dedup_stacked_sparse_with_tp_matches_dense(small_setup):
+    """The sharded_multihost preset SHAPE (data x model mesh + sparse
+    item_emb): stacked dedup composes with TP'd tower weights — the [S, cap]
+    plan stacks over DATA shards while XLA SPMD shards the tower matmuls
+    over model. Full sharded step == single-device dense step."""
+    from tencent_recommendation_2025_tpu.config import MeshConfig
+    from tencent_recommendation_2025_tpu.ops import sparse_table as ST
+    from tencent_recommendation_2025_tpu.parallel import train as PT
+    from tencent_recommendation_2025_tpu.parallel.mesh import build_mesh
+
+    dense_cfg, dedup_cfg = _cfgs(small_setup)
+    sp_cfg = dedup_cfg.replace(
+        mesh=MeshConfig(data=4, model=2),
+        train=dataclasses.replace(dedup_cfg.train,
+                                  sparse_tables=("item_emb",)))
+    model = small_setup["model"]
+    tables = device_tables(small_setup["tables"])
+    batch = _one_batch(small_setup, dense_cfg)
+    key = jax.random.key(7)
+
+    tx = make_optimizer(dense_cfg)
+    s0 = init_state(model, tx, dense_cfg.train.seed, cfg=dense_cfg)
+    s0, m0 = make_train_step(model, tx, dense_cfg)(
+        s0, jax.device_put(batch), tables["mm"], tables, key)
+
+    mesh = build_mesh(sp_cfg.mesh)
+    aug = augment_batch_dedup(batch, sp_cfg, small_setup["tables"],
+                              model.itemnum, n_data_shards=4)
+    aug = augment_batch_sparse(aug, sp_cfg, model.itemnum, (0, 5),
+                               n_table_shards=ST.mesh_table_shards(mesh))
+    assert aug["dedup_uids"].shape[0] == 4
+    state, tx_m = PT.init_sharded_state(model, sp_cfg, mesh)
+    stables = PT.shard_tables(mesh, tables)
+    step_m = PT.make_sharded_train_step(model, tx_m, sp_cfg, mesh)
+    state, m = step_m(state, PT.shard_batch(mesh, aug), stables["mm"],
+                      stables, key)
+    assert float(m["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-5)
+    V = model.itemnum + 1
+    np.testing.assert_allclose(
+        np.asarray(state.params["item_emb"])[:V],
+        np.asarray(s0.params["item_emb"]), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
 def test_stacked_partition_rejects_flat_plan(small_setup):
     """ADVICE r4: a single-device 1-D dedup plan on a data>1 mesh must fail
     loudly at sharding time, not silently spread along the capacity dim."""
