@@ -102,7 +102,13 @@ FB_WHOLESEQ_MAX = 1024   # whole-seq kernel ceiling (== hstu MAX_WHOLESEQ_L)
 FB_CHUNK = 512           # L-chunk width for the projection/FFN grid stages
 FB_ATTN_BLK = 256        # attention tile width, forward stage
 FB_ATTN_BLK_BWD = 512    # attention tile width, backward dq/dkdv passes
-MAX_CHUNKED_L = 4096     # probed ceiling for the chunked variant on v5e
+MAX_CHUNKED_L = 16384    # probed ceiling for the chunked variant on v5e
+#                          (round 5: full train steps measured at L=8192 —
+#                          569.7K tok/s, 230.1 ms @ B=16 — and L=16384 —
+#                          348.9K tok/s, 375.7 ms @ B=8; VMEM stays flat,
+#                          the O(L^2) attention grid dominates growth.
+#                          Beyond this, shard L over the seq axis — the
+#                          ring-fused path reuses these kernels per shard)
 
 _EPS = 1e-8  # models/embedding.layernorm default
 

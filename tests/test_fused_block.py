@@ -136,7 +136,9 @@ def test_supported_gate():
     # > whole-seq cap: the chunked kernels take over up to MAX_CHUNKED_L
     assert FB.fused_block_supported(cfg, 2048, "tpu")
     assert FB.fused_block_supported(cfg, 4096, "tpu")
-    assert not FB.fused_block_supported(cfg, 8192, "tpu")   # > chunked cap
+    assert FB.fused_block_supported(cfg, 8192, "tpu")       # round-5 probe
+    assert FB.fused_block_supported(cfg, 16384, "tpu")      # round-5 probe
+    assert not FB.fused_block_supported(cfg, 32768, "tpu")  # > chunked cap
     assert not FB.fused_block_supported(cfg, 2176, "tpu")   # not /FB_CHUNK
     assert not FB.fused_block_supported(cfg, 100, "tpu")    # not /128
     import dataclasses
