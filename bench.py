@@ -204,14 +204,37 @@ def main():
 
 def _longseq_secondary(G, M, PT, MeshConfig, jax):
     """benchmarks/longseq_bench.py's measurement, inlined with the same
-    warmup/slope-timing discipline (BASELINE.md), fewer iterations."""
+    warmup/slope-timing discipline (BASELINE.md), fewer iterations.
+    Round 5: tower dedup applies here too (the candidate stream at
+    B=32 x L=4096 dedups 262K positions to <=100K unique rows — measured
+    +10.6%, 159.0 -> 143.8 ms)."""
+    import os
+
     B, L = 32, 4096
     rng = np.random.default_rng(0)
     cfg, schema, fused, model = G._make_synthetic_setup(
         maxlen=L - 1, hidden=64, num_blocks=8, num_heads=1,
         block_type="hstu", itemnum=100_000, usernum=10_000)
-    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum)
-    tables = G._make_tables(rng, model.itemnum, schema)
+    tables, tables_np = G._make_tables(rng, model.itemnum, schema,
+                                       with_np=True)
+    batch = G._make_batch(rng, B, L, schema, model.itemnum, model.usernum,
+                          tables_np=tables_np)
+    tower_dedup = False
+    if os.environ.get("BENCH_TOWER_DEDUP", "1") != "0" and \
+            jax.device_count() == 1:
+        import dataclasses
+        import types
+
+        from tencent_recommendation_2025_tpu.train.trainer import (
+            augment_batch_dedup)
+
+        tower_dedup = True
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=B, tower_dedup=True))
+        batch = augment_batch_dedup(
+            batch, cfg, types.SimpleNamespace(sparse=tables_np["sparse"],
+                                              array=tables_np["array"]),
+            model.itemnum)
     mesh = M.build_mesh(MeshConfig(data=jax.device_count()))
     state, tx = PT.init_sharded_state(model, cfg, mesh)
     batch = PT.shard_batch(mesh, batch)
@@ -237,6 +260,7 @@ def _longseq_secondary(G, M, PT, MeshConfig, jax):
         "value": round(B * L / ms * 1e3),
         "unit": "tokens/s/chip",
         "step_ms": round(ms, 1), "B": B, "L": L,
+        "tower_dedup": tower_dedup,
         # round-3 chunked-attention + unfused-elementwise reading
         "vs_baseline": round(B * L / ms * 1e3 / 656_700, 3),
     }), flush=True)
