@@ -1396,7 +1396,7 @@ def _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
     blk = tilest.shape[-1]
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk
-    s = jnp.stack([jnp.int32(0), off.astype(jnp.int32)])
+    s = jnp.stack([jnp.int32(0), jnp.asarray(off, jnp.int32)])
     qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B, nqb, nkb),
@@ -1421,7 +1421,7 @@ def _rpa_bwd(num_heads, interpret, res, dav):
     blk = tilest.shape[-1]
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk
-    s = jnp.stack([jnp.int32(0), off.astype(jnp.int32)])
+    s = jnp.stack([jnp.int32(0), jnp.asarray(off, jnp.int32)])
     cdt = qt.dtype
 
     qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
