@@ -225,17 +225,22 @@ def main(argv=None):
 
     state = None
     start_epoch = 0
+    skip_steps = 0
     if args.state_dict_path:
         tx = make_optimizer(cfg)
         template = init_state(model, tx, cfg.train.seed, cfg=cfg)
         state, meta = CK.load_checkpoint(args.state_dict_path, template,
                                          model_config=cfg.model)
         # the reference parses epoch= from the filename and runs only the
-        # REMAINING epochs (main.py:118-127); our meta carries it directly
+        # REMAINING epochs (main.py:118-127); our meta carries it directly,
+        # plus the mid-epoch batch offset for preemption checkpoints
         start_epoch = int(meta.get("epoch", 0))
+        skip_steps = int(meta.get("epoch_step", 0))
         print(f"resumed from {args.state_dict_path} "
               f"(step {meta.get('global_step')}, {start_epoch}/"
-              f"{cfg.train.num_epochs} epochs done)")
+              f"{cfg.train.num_epochs} epochs done"
+              + (f", +{skip_steps} steps into the next" if skip_steps
+                 else "") + ")")
 
     if args.inference_only:
         print("inference_only: skipping training")
@@ -250,7 +255,8 @@ def main(argv=None):
                        log_dir=env.train_log_path,
                        tb_dir=env.train_tf_events_path,
                        ckpt_dir=env.train_ckpt_path, state=state,
-                       start_epoch=start_epoch, mesh=mesh,
+                       start_epoch=start_epoch, skip_steps=skip_steps,
+                       mesh=mesh,
                        profile_steps=args.profile_steps,
                        profile_dir=profile_dir,
                        profile_start=args.profile_start)

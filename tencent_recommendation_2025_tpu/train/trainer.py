@@ -10,6 +10,9 @@ is unnecessary (bf16 needs no loss scaling).
 from __future__ import annotations
 
 import dataclasses
+import itertools
+import signal
+import threading
 import time
 from functools import partial
 from pathlib import Path
@@ -847,6 +850,7 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                state: Optional[TrainState] = None,
                num_epochs: Optional[int] = None,
                start_epoch: int = 0,
+               skip_steps: int = 0,
                mesh=None,
                profile_steps: int = 0,
                profile_dir: Optional[str] = None,
@@ -859,7 +863,12 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     loop runs only the REMAINING epochs, matching the reference's
     ``epoch_start_idx`` resume semantics (``main.py:118-127``, loop ``:154``).
     The step counter resumes from ``state.step`` so checkpoint dir names
-    (``global_step{N}``) stay monotone across restarts.
+    (``global_step{N}``) stay monotone across restarts. ``skip_steps``
+    (from a mid-epoch preemption checkpoint's ``epoch_step`` meta) skips
+    that many already-trained batches of the FIRST resumed epoch — the
+    loaders are epoch-deterministic and the step rng folds on
+    ``state.step``, so a preempted-and-resumed run is bit-identical to an
+    uninterrupted one.
 
     ``profile_steps`` > 0 captures a jax.profiler trace (TensorBoard-
     viewable, SURVEY §5 tracing) around train steps ``profile_start`` ..
@@ -1017,12 +1026,40 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     prof_active = False
     ticks = 0
 
+    # Graceful preemption (SURVEY §5 failure detection; preemptible TPU
+    # fleets send SIGTERM with a grace window): finish the in-flight step,
+    # checkpoint SYNCHRONOUSLY with meta epoch = epoch-1 (this epoch is
+    # incomplete — the resume re-runs it deterministically), and return
+    # cleanly so the supervisor/scheduler restart continues, not restarts.
+    stop = {"requested": False}
+    prev_sigterm, sig_installed = None, False
+    if threading.current_thread() is threading.main_thread() \
+            and jax.process_count() == 1:
+
+        def _on_term(signum, frame):
+            if not stop["requested"]:
+                print("train_loop: SIGTERM — checkpointing after the "
+                      "current step, then exiting cleanly")
+            stop["requested"] = True
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_term)
+            sig_installed = True
+        except (ValueError, OSError):
+            sig_installed = False
+
     crashed = False
     try:
         for epoch in range(start_epoch + 1, epochs + 1):
+            skip = skip_steps if epoch == start_epoch + 1 else 0
+            src = epoch_batches(epoch)
+            if skip:
+                # mid-epoch resume: drop the already-trained prefix (the
+                # host prep still runs for them — keys stay index-aligned)
+                src = itertools.islice(src, skip, None)
             for step, batch in enumerate(
-                    prefetch_to_device(epoch_batches(epoch),
-                                       device_put=put_batch)):
+                    prefetch_to_device(src, device_put=put_batch),
+                    start=skip):
                 ticks += 1
                 if prof_on and not prof_active and ticks == profile_start:
                     Path(profile_dir).mkdir(parents=True, exist_ok=True)
@@ -1050,7 +1087,27 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                                    tables)
                     tb.scalar("Valid/loss", float(vm["loss"]),
                               timer.global_step)
+                if stop["requested"]:
+                    break
             flush(epoch)
+            if stop["requested"]:
+                if ckpt_dir:
+                    from .checkpoint import save_checkpoint
+
+                    if save_handle is not None:
+                        save_handle.result()
+                        save_handle = None
+                    path = save_checkpoint(
+                        ckpt_dir, state, timer.global_step, 0.0,
+                        extra_meta={"epoch": epoch - 1,
+                                    "epoch_step": step + 1,
+                                    "preempted": True},
+                        model_config=model.cfg)
+                    if verbose:
+                        print(f"preemption checkpoint written: {path.name} "
+                              f"(epoch {epoch} step {step + 1} — resume "
+                              f"continues mid-epoch via skip_steps)")
+                break
 
             # validation pass (reference main.py:233-262)
             vstart = time.time()
@@ -1099,6 +1156,13 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             except Exception:
                 if not crashed:
                     raise
+        if sig_installed:
+            try:
+                signal.signal(signal.SIGTERM,
+                              prev_sigterm if prev_sigterm is not None
+                              else signal.SIG_DFL)
+            except (ValueError, OSError):
+                pass
         jlog.close()
         tb.close()
     return state
