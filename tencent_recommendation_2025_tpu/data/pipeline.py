@@ -127,12 +127,19 @@ class TestLoader:
 
 def prefetch_to_device(iterator: Iterator, size: int = 2,
                        device_put=None) -> Iterator:
-    """Double-buffered prefetch: build/transfer batch N+1 while N computes."""
+    """Double-buffered prefetch: build/transfer batch N+1 while N computes.
+
+    The producer thread is CANCELABLE: when the consumer stops early
+    (preemption, crash, epoch break), closing this generator signals the
+    producer to exit within ~0.1 s instead of blocking forever on the full
+    queue while pinning device batches — a supervisor-restart loop would
+    otherwise leak one thread + ``size`` buffered batches per restart."""
     import jax
 
     put = device_put or jax.device_put
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     class _Err:
         """Producer-thread exception, re-raised on the consumer side — a
@@ -141,23 +148,37 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
         def __init__(self, e):
             self.e = e
 
+    def _offer(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterator:
-                if isinstance(item, tuple):
-                    q.put((put(item[0]), *item[1:]))
-                else:
-                    q.put(put(item))
-            q.put(_END)
+                if stop.is_set():
+                    return
+                staged = (put(item[0]), *item[1:]) \
+                    if isinstance(item, tuple) else put(item)
+                if not _offer(staged):
+                    return
+            _offer(_END)
         except BaseException as e:  # noqa: BLE001 — relayed to the consumer
-            q.put(_Err(e))
+            _offer(_Err(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, _Err):
-            raise item.e
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, _Err):
+                raise item.e
+            yield item
+    finally:
+        stop.set()

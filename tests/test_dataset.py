@@ -131,3 +131,34 @@ def test_cold_start_inference(tmp_path):
         if any(r[1] and r[1] > data.itemnum for r in raw):
             saw_cold = True
     assert saw_cold
+
+
+def test_prefetch_producer_cancels_on_early_exit():
+    """Closing the prefetch generator (epoch break / preemption / crash)
+    stops the producer thread instead of leaving it blocked on the full
+    queue pinning device batches — a supervisor-restart loop would leak
+    one thread + buffered batches per restart otherwise."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from tencent_recommendation_2025_tpu.data.pipeline import (
+        prefetch_to_device)
+
+    before = threading.active_count()
+    consumed = {"n": 0}
+
+    def src():
+        for i in range(100):
+            consumed["n"] = i + 1
+            yield np.zeros((4,))
+
+    it = prefetch_to_device(src(), device_put=lambda x: x)
+    next(it)
+    it.close()                      # early consumer exit
+    deadline = time.time() + 3
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert consumed["n"] < 100, "producer drained the source after close"
