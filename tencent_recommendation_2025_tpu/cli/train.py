@@ -56,6 +56,11 @@ def get_args(argv=None):
     p.add_argument("--num_inbatch_negatives", default=None, type=int,
                    help="in-batch negatives for sampled softmax (F9); "
                         "0 = shared-uniform only")
+    p.add_argument("--grad_accum_steps", default=None, type=int,
+                   help="accumulate gradients over G strided microbatches "
+                        "inside one step (exact weighted combine; dense "
+                        "tables only) — effective batch at ~1/G activation "
+                        "memory")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", default=None, type=int)
     p.add_argument("--mesh_model", default=None, type=int)
@@ -93,7 +98,7 @@ def build_config(args):
         model_over["norm_first"] = True
     train_over = {k: getattr(args, k) for k in
                   ("batch_size", "lr", "num_epochs", "l2_emb", "loss_type",
-                   "seed", "num_inbatch_negatives")
+                   "seed", "num_inbatch_negatives", "grad_accum_steps")
                   if getattr(args, k) is not None}
     mesh_over = {}
     for ax in ("data", "model", "seq", "pipe"):

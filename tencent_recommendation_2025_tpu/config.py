@@ -117,6 +117,13 @@ class TrainConfig:
     # un-dedup'd through the dense per-position towers (exact, slower) with
     # a rate-limited warning — never truncates, never kills the run.
     tower_dedup_cap_frac: float = 0.75
+    # Gradient accumulation (dense-table paths): split the loaded batch
+    # into G strided microbatches inside ONE jitted step (lax.scan) — only
+    # one microbatch's activations stay live, so effective batch B trains
+    # at ~B/G activation memory. EXACT: microbatch grads/losses combine
+    # weighted by their masked-position counts. Unsupported with
+    # sparse_tables / tower_dedup (host plans index global batch rows).
+    grad_accum_steps: int = 1
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10
     grad_log_every: int = 100

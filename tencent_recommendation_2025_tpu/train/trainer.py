@@ -241,7 +241,10 @@ def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
         loss = L.sampled_softmax_loss(log_feats, pos_embs, neg_embs, neg_ids,
                                       batch["pos"], loss_mask, model.itemnum,
                                       neg_logq=neg_logq)
-        return loss, {"loss": loss}
+        # n_mask: the loss's normalization count — the exact weight for
+        # gradient accumulation (mean-of-means != global mean otherwise)
+        return loss, {"loss": loss,
+                      "n_mask": loss_mask.sum().astype(jnp.float32)}
     pos_logits, neg_logits, loss_mask = model.logits(
         params, batch, mm_tables, item_tables, train=train, rng=rng,
         mesh=mesh, pp_microbatches=ppm)
@@ -249,7 +252,8 @@ def _compute_loss(model: SeqRecModel, params, batch, mm_tables, item_tables,
     loss = bce
     if cfg.train.l2_emb > 0.0:
         loss = loss + L.l2_emb_penalty(params["item_emb"], cfg.train.l2_emb)
-    return loss, {"loss": loss, "bce": bce}
+    return loss, {"loss": loss, "bce": bce,
+                  "n_mask": loss_mask.sum().astype(jnp.float32)}
 
 
 def _grad_metrics(metrics: Dict, *grad_trees) -> Dict:
@@ -588,17 +592,87 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
             assert cfg.train.table_optimizer == "rowwise_adagrad", (
                 "mesh-sharded packed tables support rowwise_adagrad")
 
+    G = max(1, int(getattr(cfg.train, "grad_accum_steps", 1)))
+    if G > 1:
+        assert not sparse, (
+            "grad_accum_steps composes with dense tables only: the sparse "
+            "path's host-planned gather/scatter schedules index the whole "
+            "step's touched rows (per-microbatch plans + a cross-microbatch "
+            "row union would be needed)")
+        assert not cfg.train.tower_dedup, (
+            "grad_accum_steps x tower_dedup unsupported: dedup spread plans "
+            "index global batch rows, not microbatch slices")
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            per = cfg.train.batch_size // G
+            assert per % mesh.shape["data"] == 0, (
+                f"grad_accum_steps={G}: each microbatch has "
+                f"{per} rows, which must divide the data axis "
+                f"({mesh.shape['data']}) — the explicit EP a2a shards "
+                "microbatch rows over data")
+
     if not sparse:
         def step_fn(state: TrainState, batch, mm_tables, item_tables, rng):
             rng = jax.random.fold_in(rng, state.step)
+            if G == 1:
+                def loss_fn(params):
+                    return compute_loss(model, params, batch, mm_tables,
+                                        item_tables, cfg, train=True,
+                                        rng=rng, mesh=mesh)
 
-            def loss_fn(params):
-                return compute_loss(model, params, batch, mm_tables,
-                                    item_tables, cfg, train=True, rng=rng,
-                                    mesh=mesh)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                # Gradient accumulation (train.grad_accum_steps): scan G
+                # microbatches, keeping ONE microbatch's activations live —
+                # effective batch B at ~B/G activation memory (the 100M-row
+                # config OOMs at B=128 on activations; long-context runs at
+                # B=8-32 gain effective batch). EXACT vs the monolithic
+                # step: losses normalize per masked position, so microbatch
+                # grads/losses combine weighted by their n_mask counts
+                # (mean-of-means would be wrong when counts differ).
+                # Microbatches split STRIDED (row i -> microbatch i % G) so
+                # each one samples every data shard evenly under a mesh.
+                B = batch["seq"].shape[0]
+                assert B % G == 0, (B, G)
 
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                def split(x):
+                    return x.reshape(B // G, G, *x.shape[1:]).swapaxes(0, 1)
+
+                mb_split = {k: split(v) for k, v in batch.items()
+                            if getattr(v, "ndim", 0) >= 1
+                            and v.shape[0] == B}
+                shared = {k: v for k, v in batch.items() if k not in
+                          mb_split}
+                f32 = jnp.float32
+                gzero = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, f32), state.params)
+
+                def micro(carry, xs):
+                    gacc, wacc, lacc = carry
+                    g_idx, mb = xs
+                    mbatch = dict(shared, **mb)
+
+                    def loss_fn(params):
+                        return compute_loss(
+                            model, params, mbatch, mm_tables, item_tables,
+                            cfg, train=True,
+                            rng=jax.random.fold_in(rng, g_idx), mesh=mesh)
+
+                    (l, m), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(state.params)
+                    w = m["n_mask"]
+                    gacc = jax.tree.map(
+                        lambda a, g: a + g.astype(f32) * w, gacc, grads)
+                    return (gacc, wacc + w, lacc + l.astype(f32) * w), None
+
+                (gsum, wsum, lsum), _ = jax.lax.scan(
+                    micro, (gzero, jnp.float32(0.0), jnp.float32(0.0)),
+                    (jnp.arange(G), mb_split))
+                wsum = jnp.maximum(wsum, 1.0)
+                grads = jax.tree.map(
+                    lambda s, p: (s / wsum).astype(p.dtype), gsum,
+                    state.params)
+                metrics = {"loss": lsum / wsum, "n_mask": wsum}
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
