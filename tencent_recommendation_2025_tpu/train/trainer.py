@@ -638,8 +638,14 @@ def make_train_step(model: SeqRecModel, tx: optax.GradientTransformation,
                 def split(x):
                     return x.reshape(B // G, G, *x.shape[1:]).swapaxes(0, 1)
 
+                # split by KEY semantics, not shape: sampled_neg_ids is the
+                # step's SHARED negative list and must reach every
+                # microbatch whole — its length N can equal B (both default
+                # 128), so a shape test would silently split it
+                shared_keys = ("sampled_neg_ids",)
                 mb_split = {k: split(v) for k, v in batch.items()
-                            if getattr(v, "ndim", 0) >= 1
+                            if k not in shared_keys
+                            and getattr(v, "ndim", 0) >= 1
                             and v.shape[0] == B}
                 shared = {k: v for k, v in batch.items() if k not in
                           mb_split}

@@ -54,14 +54,19 @@ def _run(small_setup, cfg, batch, extra_sites=()):
 def test_accum_matches_monolithic(small_setup, loss_type):
     kw = dict(loss_type=loss_type)
     if loss_type == "sampled_softmax":
-        kw["num_sampled_negatives"] = 16
+        # N == B on purpose: the shared negative list must NOT be split
+        # across microbatches (it is shared by key, not by shape — the
+        # flagship defaults have N == B == 128)
+        kw["num_sampled_negatives"] = small_setup["cfg"].train.batch_size
     cfg1 = _cfg(small_setup, grad_accum_steps=1, **kw)
     cfg2 = _cfg(small_setup, grad_accum_steps=2, **kw)
     batch = _one_batch(small_setup, cfg1)
     if loss_type == "sampled_softmax":
         # shared negatives must match across variants (G=1 samples on
         # device with the un-folded rng)
-        batch = dict(batch, sampled_neg_ids=np.arange(1, 17, dtype=np.int32))
+        n = small_setup["cfg"].train.batch_size
+        batch = dict(batch,
+                     sampled_neg_ids=np.arange(1, n + 1, dtype=np.int32))
 
     s1, m1 = _run(small_setup, cfg1, batch)
     s2, m2 = _run(small_setup, cfg2, batch)
