@@ -40,7 +40,9 @@ def run_supervised(train_fn: Callable[[Optional[object], int], object],
     — pass ``meta["epoch"]`` into ``train_loop(start_epoch=...)`` so each
     restart trains only the REMAINING epochs instead of re-running the full
     budget (the reference's ``epoch_start_idx`` semantics,
-    ``model/BaseLine/main.py:118-127``).
+    ``model/BaseLine/main.py:118-127``), and ``meta.get("epoch_step", 0)``
+    into ``skip_steps=`` so a SIGTERM-preemption checkpoint resumes
+    mid-epoch bit-exactly.
     """
     wants_meta = len(inspect.signature(train_fn).parameters) >= 3
     attempt = 0
