@@ -4,7 +4,7 @@ Real multi-chip hardware is unavailable here, so this measures the PER-
 DEVICE compute of one HSTU block under an S=2 ring at global L = 2 * Lc,
 simulating the heavier device (si=1, which attends to both kv shards):
 
-- FUSED:   ring_pre_proj -> 2x ring_pair_attn (offsets nlb and 0) ->
+- FUSED:   ring_pre_proj -> 2x ring_pair_attn (token offsets Lc and 0) ->
            ring_post_gate (parallel/ring_fused.py's per-shard pipeline;
            the ppermute hop is not measurable on one chip and is the same
            [B, D, Lc] payload either way);
@@ -61,17 +61,13 @@ def main():
     cot = jnp.asarray(rng.standard_normal((B, Lc, D)), cdt)
 
     # ---- fused per-shard pipeline (device si=1 of the S=2 ring) ----------
-    blk = FB._attn_blk(Lc)
-    nlb = Lc // blk
-
     def fused_block(xt, bp):
         rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2 = FB._block_operands(
             bp, cdt)
-        tilest = FB.tiles_t_diff(rab, blk)
         q, k, v, u = FB.ring_pre_proj(xt, lnt, wuvqk, buvqkt, L, H, False)
-        acc = FB.ring_pair_attn(q, k, v, valid3, tilest,
-                                jnp.int32(nlb), H, False)
-        acc = acc + FB.ring_pair_attn(q, k, v, valid3, tilest,
+        acc = FB.ring_pair_attn(q, k, v, valid3, rab,
+                                jnp.int32(Lc), H, False)
+        acc = acc + FB.ring_pair_attn(q, k, v, valid3, rab,
                                       jnp.int32(0), H, False)
         return FB.ring_post_gate(xt, acc.astype(cdt), u, lnt, wuvqk,
                                  buvqkt, wo, bot, w13, w2, jnp.int32(0),

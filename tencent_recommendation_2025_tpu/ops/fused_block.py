@@ -1250,11 +1250,13 @@ def _pair_attn_fwd_kernel(s_ref, qt_ref, kt_ref, vt_ref, valid_ref,
                           tilest_ref, avt_ref, acc_ref, *, n_tiles,
                           num_heads, n_k_blocks):
     """One (q-shard, kv-shard) pair of _fwd_attn_kernel_chunk: the global
-    block distance is d = qb - kb + off (off = s_ref[1], possibly negative —
-    kv from a future shard is fully masked and skipped)."""
+    block distance is d = qb - kb + off_tokens/blk (s_ref[1] carries the
+    shard offset in TOKENS so forward and backward can tile at different
+    widths; possibly negative — a future kv shard is fully masked and
+    skipped)."""
     qb = pl.program_id(1)
     kb = pl.program_id(2)
-    d = qb - kb + s_ref[1]
+    d = qb - kb + s_ref[1] // qt_ref.shape[2]
 
     @pl.when(kb == 0)
     def _():
@@ -1288,7 +1290,7 @@ def _pair_dq_kernel(s_ref, qt_ref, kt_ref, vt_ref, davt_ref, valid_ref,
     b = pl.program_id(0)
     qb = pl.program_id(1)
     kb = pl.program_id(2)
-    d = qb - kb + s_ref[1]
+    d = qb - kb + s_ref[1] // qt_ref.shape[2]
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(qb == 0, kb == 0)))
     def _():
@@ -1327,7 +1329,7 @@ def _pair_dkdv_kernel(s_ref, qt_ref, kt_ref, vt_ref, davt_ref, valid_ref,
     (rotated-in) q shard."""
     kb = pl.program_id(1)
     qb = pl.program_id(2)
-    d = qb - kb + s_ref[1]
+    d = qb - kb + s_ref[1] // qt_ref.shape[2]
 
     @pl.when(qb == 0)
     def _():
@@ -1377,26 +1379,32 @@ def _pair_specs(D, blk, H, nt, kmajor=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def ring_pair_attn(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
+def ring_pair_attn(qt, kt, vt, valid3, rab, off_tokens, num_heads,
+                   interpret):
     """Partial HSTU attention of the local q shard against ONE kv shard.
 
     ``qt`` [B, D, Lq] (pre-scaled), ``kt``/``vt`` [B, D, Lk] (v 1/L-scaled),
-    ``valid3`` [B, Lk, 1] int32 kv-validity, ``tilest`` pre-transposed bias
-    tiles, ``off`` runtime global block offset (q_blk_global - k_blk_global
-    for the (0, 0) tile pair). Returns the f32 partial [B, D, Lq] — ring
-    steps sum exactly (silu attention has no softmax state).
+    ``valid3`` [B, Lk, 1] int32 kv-validity, ``rab`` [H, buckets] the
+    rel-pos bias table (bias tiles build INSIDE each direction so forward
+    and backward tile at their measured-best widths — the chunked path's
+    fwd 256 / bwd 512 finding; the drab path is the scatter-free Toeplitz
+    transpose), ``off_tokens`` runtime global offset in TOKENS
+    (q_shard_start - kv_shard_start). Returns the f32 partial [B, D, Lq] —
+    ring steps sum exactly (silu attention has no softmax state).
     """
-    out, _ = _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret)
+    out, _ = _rpa_fwd(qt, kt, vt, valid3, rab, off_tokens, num_heads,
+                      interpret)
     return out
 
 
-def _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
+def _rpa_fwd(qt, kt, vt, valid3, rab, off_tokens, num_heads, interpret):
     B, D, Lq = qt.shape
     Lk = kt.shape[2]
-    blk = tilest.shape[-1]
+    blk = _attn_blk(min(Lq, Lk))
+    tilest = _tiles_t(rab, blk)
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk
-    s = jnp.stack([jnp.int32(0), jnp.asarray(off, jnp.int32)])
+    s = jnp.stack([jnp.int32(0), jnp.asarray(off_tokens, jnp.int32)])
     qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B, nqb, nkb),
@@ -1411,17 +1419,25 @@ def _rpa_fwd(qt, kt, vt, valid3, tilest, off, num_heads, interpret):
         out_shape=jax.ShapeDtypeStruct((B, D, Lq), jnp.float32),
         interpret=interpret,
     )(s, qt, kt, vt, valid3, tilest)
-    return out, (qt, kt, vt, valid3, tilest, off)
+    return out, (qt, kt, vt, valid3, rab, off_tokens)
 
 
 def _rpa_bwd(num_heads, interpret, res, dav):
-    qt, kt, vt, valid3, tilest, off = res
+    qt, kt, vt, valid3, rab, off_tokens = res
     B, D, Lq = qt.shape
     Lk = kt.shape[2]
-    blk = tilest.shape[-1]
+    # Backward tiles at the FORWARD width: the chunked single-device
+    # kernels measured bwd@512 1.6x better than @256, but in the PAIR
+    # structure the wide tiles LOSE — measured on v5e at B=32/Lc=2048
+    # (2026-08-20): block fwd+bwd 12.29 ms with bwd@512 vs 10.91 ms at the
+    # shared 256 width (per-pair grids are shorter and half the pairs'
+    # tiles sit above the causal skip, so there is less per-step overhead
+    # to amortize and the [blk, blk] recompute spill costs win out).
+    blk = _attn_blk(min(Lq, Lk))
+    tilest = _tiles_t(rab, blk)
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk
-    s = jnp.stack([jnp.int32(0), jnp.asarray(off, jnp.int32)])
+    s = jnp.stack([jnp.int32(0), jnp.asarray(off_tokens, jnp.int32)])
     cdt = qt.dtype
 
     qs, ks, vs, ts = _pair_specs(D, blk, H, nt)
@@ -1456,8 +1472,10 @@ def _rpa_bwd(num_heads, interpret, res, dav):
         out_shape=[jax.ShapeDtypeStruct((B, D, Lk), jnp.float32)] * 2,
         interpret=interpret,
     )(s, qt, kt, vt, dav, valid3, tilest)
+    drab = _bias_tiles_transpose(dtilest.transpose(0, 1, 3, 2),
+                                 rab.shape[1])
     return (dqt.astype(cdt), dkt.astype(cdt), dvt.astype(cdt), None,
-            dtilest, None)
+            drab, None)
 
 
 ring_pair_attn.defvjp(_rpa_fwd, _rpa_bwd)

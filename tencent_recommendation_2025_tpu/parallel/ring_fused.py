@@ -49,9 +49,6 @@ def _ring_fused_block(xt, bp, valid3, seed, si, di, n_seq, cfg, use_dropout,
     B, D, Lc = xt.shape
     L = Lc * n_seq
     rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2 = FB._block_operands(bp, cdt)
-    blk = FB._attn_blk(Lc)
-    tilest = FB.tiles_t_diff(rab, blk)
-    nlb = Lc // blk
 
     q, k, v, u = FB.ring_pre_proj(xt, lnt, wuvqk, buvqkt, L,
                                   cfg.num_heads, interpret)
@@ -60,8 +57,8 @@ def _ring_fused_block(xt, bp, valid3, seed, si, di, n_seq, cfg, use_dropout,
     perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
     for step in range(n_seq):
         src = (si - step) % n_seq
-        off = (si - src) * nlb          # negative ⇒ future shard, masked
-        acc = acc + FB.ring_pair_attn(q, k_cur, v_cur, val_cur, tilest,
+        off = (si - src) * Lc           # tokens; negative ⇒ future, masked
+        acc = acc + FB.ring_pair_attn(q, k_cur, v_cur, val_cur, rab,
                                       off, cfg.num_heads, interpret)
         if step + 1 < n_seq:
             k_cur = jax.lax.ppermute(k_cur, "seq", perm)
