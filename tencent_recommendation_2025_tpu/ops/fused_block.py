@@ -1227,25 +1227,6 @@ def ring_fused_supported(cfg, L: int, n_seq: int, backend: str) -> bool:
     return True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def tiles_t_diff(rab, blk):
-    """Differentiable pre-transposed bias tiles with the SCATTER-FREE
-    Toeplitz backward (autodiff of the tile build emits a blk^2-duplicate
-    scatter-add that TPU serializes — the round-2 drab finding)."""
-    return _tiles_t(rab, blk)
-
-
-def _ttd_fwd(rab, blk):
-    return _tiles_t(rab, blk), rab.shape[1]
-
-
-def _ttd_bwd(blk, buckets, dt):
-    return (_bias_tiles_transpose(dt.transpose(0, 1, 3, 2), buckets),)
-
-
-tiles_t_diff.defvjp(_ttd_fwd, _ttd_bwd)
-
-
 def _pair_attn_fwd_kernel(s_ref, qt_ref, kt_ref, vt_ref, valid_ref,
                           tilest_ref, avt_ref, acc_ref, *, n_tiles,
                           num_heads, n_k_blocks):
