@@ -12,7 +12,7 @@ star). Here the whole block stack runs inside ONE shard_map over
 - per block: ``ring_pre_proj`` (fused LN1+uvqk+silu Pallas stage) →
   an S-step ring in which K/V/validity rotate one ICI hop per step
   (``ppermute``) while ``ring_pair_attn`` computes the (q-shard, kv-shard)
-  pair with a runtime global-block offset — HSTU silu attention is
+  pair with a runtime TOKEN offset — HSTU silu attention is
   additive, so per-pair f32 partials sum EXACTLY (no softmax state) →
   ``ring_post_gate`` (fused gate/out-proj/FFN stage);
 - gradients flow through plain JAX autodiff: the three units carry their
@@ -22,7 +22,7 @@ star). Here the whole block stack runs inside ONE shard_map over
   shard_map transpose.
 
 Masking/bias exactness: the global block distance d = (qb - kb) +
-(q_shard - kv_shard) * blocks_per_shard drives the rel-pos tile slot and
+(q_shard - kv_shard) * Lc / tile_width drives the rel-pos tile slot and
 the causal skip (d < 0 ⇒ fully-masked future pair, skipped), so numerics
 match the single-device chunked kernels tile-for-tile; the 1/L scaling
 uses the GLOBAL L. The dropout PRNG folds (seq, data) shard indices into
