@@ -62,3 +62,17 @@ def test_cli_train_sharded(synth_dir, tmp_path, monkeypatch):
     assert restored.params["item_emb"].shape == (data.itemnum + 1, 32)
     assert np.isfinite(np.asarray(restored.params["item_emb"])).all()
     assert int(restored.step) > 0
+
+
+def test_cli_build_config_round5_overrides():
+    """Round-5 CLI flags reach the config tree."""
+    from tencent_recommendation_2025_tpu.cli.train import (build_config,
+                                                           get_args)
+
+    args = get_args(["--preset", "baseline", "--grad_accum_steps", "2",
+                     "--num_inbatch_negatives", "8", "--profile_steps", "3",
+                     "--profile_start", "5"])
+    cfg = build_config(args)
+    assert cfg.train.grad_accum_steps == 2
+    assert cfg.train.num_inbatch_negatives == 8
+    assert args.profile_steps == 3 and args.profile_start == 5
