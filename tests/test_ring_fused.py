@@ -20,8 +20,8 @@ requires_8 = pytest.mark.skipif(jax.device_count() < 8,
                                 reason="needs 8 fake devices")
 
 
-def _setup(L, D=32, B=4, nb=2, seed=0):
-    cfg = ModelConfig(hidden_units=D, num_blocks=nb, num_heads=1,
+def _setup(L, D=32, B=4, nb=2, seed=0, H=1):
+    cfg = ModelConfig(hidden_units=D, num_blocks=nb, num_heads=H,
                       maxlen=L - 1, block_type="hstu", ffn_type="swiglu",
                       dtype="float32", reference_init=False,
                       dropout_rate=0.0)
@@ -49,11 +49,12 @@ def _force_tpu_gate(monkeypatch):
 
 
 @requires_8
-@pytest.mark.parametrize("L,S", [(512, 2), (1024, 4)])
-def test_ring_fused_encode_matches_dense(monkeypatch, L, S):
+@pytest.mark.parametrize("L,S,H", [(512, 2, 1), (1024, 4, 1),
+                                   (512, 2, 2)])   # H=2: the head loop
+def test_ring_fused_encode_matches_dense(monkeypatch, L, S, H):
     _force_tpu_gate(monkeypatch)
     monkeypatch.setattr(FB, "FB_ATTN_BLK", 128)   # >1 block per shard
-    cfg, params, emb, seq_ids, tt, pos = _setup(L)
+    cfg, params, emb, seq_ids, tt, pos = _setup(L, H=H)
     mesh = build_mesh(MeshConfig(data=2, seq=S),
                       devices=jax.devices()[: 2 * S])
 
