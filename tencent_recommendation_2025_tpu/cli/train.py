@@ -187,12 +187,17 @@ def main(argv=None):
                                      cfg.train.valid_fraction,
                                      cfg.train.seed)
     import jax
-    use_cached = args.loader in ("cached", "native") or \
-        (args.loader == "auto" and len(sampler) <= 2_000_000)
+    # auto: prefer the native C++ cache at ANY scale (its fields are
+    # memmapped — the host never holds the full arrays), python PackedCache
+    # (in-RAM) up to 2M users, streaming TrainLoader as the last resort.
+    # Measured on the flagship shapes (benchmarks/pipeline_bench.py): the
+    # streaming python sampler sustains ~340 samples/s/host vs the chip's
+    # 3365 ex/s consumption — cached paths are the product path.
+    use_cached = args.loader in ("cached", "native", "auto")
+    cache = None
     if use_cached:
         from ..data.cached_dataset import CachedTrainLoader, PackedCache
 
-        cache = None
         if args.loader != "cached":
             # native C++ pack (auto falls back to python if make fails)
             from ..data import native_pack as NP
@@ -211,11 +216,16 @@ def main(argv=None):
                     print(f"native dataprep unavailable ({e}); "
                           "falling back to python pack")
         if cache is None:
-            cache = PackedCache(sampler, num_workers=args.num_workers)
+            if args.loader == "auto" and len(sampler) > 2_000_000:
+                use_cached = False  # in-RAM python pack too big: stream
+            else:
+                cache = PackedCache(sampler, num_workers=args.num_workers)
+    if use_cached:
         train_loader = CachedTrainLoader(cache, tr_idx, cfg.train.batch_size,
                                          seed=cfg.train.seed,
                                          host_id=jax.process_index(),
-                                         num_hosts=jax.process_count())
+                                         num_hosts=jax.process_count(),
+                                         num_workers=min(args.num_workers, 8))
         valid_loader = CachedTrainLoader(cache, va_idx, cfg.train.batch_size,
                                          seed=cfg.train.seed, shuffle=False)
     else:

@@ -157,25 +157,59 @@ class PackedCache:
 
 
 class CachedTrainLoader:
-    """Drop-in replacement for pipeline.TrainLoader backed by a PackedCache."""
+    """Drop-in replacement for pipeline.TrainLoader backed by a PackedCache.
+
+    Batches build on a small thread pool (numpy's fancy-index copies and
+    rejection-sampling ufuncs release the GIL): serially, one B=128 x L=1024
+    flagship batch costs ~70 ms of gather + negative-sampling host work
+    against the device's 38 ms step — the single prefetch thread could not
+    keep the chip fed (measured round 5, benchmarks/pipeline_bench.py).
+    Negatives draw from a PER-BATCH key ``(seed, epoch, b)`` so the stream
+    is deterministic per (seed, epoch) and independent of worker scheduling;
+    in-flight futures are bounded to ``num_workers + 1`` batches."""
 
     def __init__(self, cache: PackedCache, indices: np.ndarray,
                  batch_size: int, seed: int = 0, shuffle: bool = True,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1, num_workers: int = 4):
         self.cache = cache
         self.indices = np.asarray(indices)[host_id::num_hosts]
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
 
     def __len__(self) -> int:
         return -(-len(self.indices) // self.batch_size)
 
-    def epoch(self, epoch_idx: int) -> Iterator[Batch]:
+    # trainer.epoch_batches checks this to hand its host prep (tower dedup
+    # + sparse plans) to the worker pool instead of running it serially on
+    # the prefetch thread (measured: serial prep drops the host pipeline
+    # just below the flagship's consumption rate)
+    supports_prep = True
+
+    def epoch(self, epoch_idx: int, prep=None) -> Iterator[Batch]:
         order = self.indices.copy()
         rng = np.random.default_rng((self.seed, epoch_idx))
         if self.shuffle:
             rng.shuffle(order)
-        for b in range(len(self)):
+        n = len(self)
+
+        def build(b):
             uids = order[b * self.batch_size:(b + 1) * self.batch_size]
-            yield self.cache.batch(uids, self.batch_size, rng)
+            batch = self.cache.batch(uids, self.batch_size,
+                                     np.random.default_rng(
+                                         (self.seed, epoch_idx, b)))
+            return prep(batch, b) if prep is not None else batch
+
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            inflight: deque = deque()
+            for b in range(min(self.num_workers + 1, n)):
+                inflight.append(pool.submit(build, b))
+            next_b = len(inflight)
+            while inflight:
+                yield inflight.popleft().result()
+                if next_b < n:
+                    inflight.append(pool.submit(build, next_b))
+                    next_b += 1

@@ -110,6 +110,20 @@ MAX_CHUNKED_L = 16384    # probed ceiling for the chunked variant on v5e
 #                          Beyond this, shard L over the seq axis — the
 #                          ring-fused path reuses these kernels per shard)
 
+
+def wholeseq_max_l(D: int) -> int:
+    """Whole-seq kernel ceiling as a function of model width.
+
+    The whole-seq kernels' scoped-VMEM transients scale ~D*L ([4D, L] /
+    [2F, L] staging), so the L ceiling halves per D doubling. Probed on
+    v5e (2026-08-20): D=64 fits at L=1024 (= FB_WHOLESEQ_MAX, round 4);
+    D=128 at L=1024 needs 20.93 MB scoped VMEM against the 16 MB Mosaic
+    limit — the same +25-30%-over-limit signature as D=64 at L=2048.
+    Floored at FB_CHUNK so the chunked pipeline (which requires
+    L % FB_CHUNK == 0) takes over exactly where the whole-seq kernels
+    stop fitting."""
+    return max(FB_CHUNK, FB_WHOLESEQ_MAX * 64 // max(D, 64))
+
 _EPS = 1e-8  # models/embedding.layernorm default
 
 
@@ -765,16 +779,22 @@ def _tiles_t(rab, blk: int = FB_BLK):
     return _bias_tiles(rab, blk, causal_diag=True).transpose(0, 1, 3, 2)
 
 
-def _attn_blk(L: int, bwd: bool = False) -> int:
+def _attn_blk(L: int, bwd: bool = False, D: int = 64) -> int:
     """Attention tile width for the chunked (gridded) kernels. Directions
     tune independently (each builds its own bias tiles): A/B on v5e at
     B=128/L=2048 measured fwd 7.2 ms @256 vs 8.2 @512 (the [blk, blk] silu
     pass dominates fwd and 512 spills), but bwd 8.2 ms @512 vs 13.3 @256
     (two recompute passes amortize the per-step overhead better at 512).
-    Falls back toward FB_BLK when the preferred width doesn't divide L."""
-    for blk in ((FB_ATTN_BLK_BWD, FB_ATTN_BLK, FB_BLK) if bwd
-                else (FB_ATTN_BLK, FB_BLK)):
-        if L % blk == 0:
+    Falls back toward FB_BLK when the preferred width doesn't divide L.
+
+    Width is also D-capped: the stage transients scale ~D*blk, and the
+    backward at D=128 with the 512 tile needs 16.56 MB scoped VMEM against
+    the 16 MB Mosaic limit (probed on v5e 2026-08-20) — so widths keep
+    D*blk <= 64*512, i.e. the probed D=64 budget."""
+    cands = (FB_ATTN_BLK_BWD, FB_ATTN_BLK, FB_BLK) if bwd \
+        else (FB_ATTN_BLK, FB_BLK)
+    for blk in cands:
+        if L % blk == 0 and D * blk <= 64 * FB_ATTN_BLK_BWD:
             return blk
     return FB_BLK
 
@@ -794,7 +814,7 @@ def _fused_fwd_call(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
     B, D, L = xt.shape
     F = w2.shape[0]
     hd = D // num_heads
-    if L > FB_WHOLESEQ_MAX:
+    if L > wholeseq_max_l(D):
         return _fwd_call_chunk(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot,
                                w13, w2, seed1, num_heads, rate, train,
                                interpret)
@@ -828,7 +848,7 @@ def _fwd_call_chunk(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
     f32 = jnp.float32
     CH = FB_CHUNK
     nc = L // CH
-    blk = _attn_blk(L)
+    blk = _attn_blk(L, D=D)
     nqb = L // blk
     tilest = _tiles_t(rab, blk)
     H, nt = tilest.shape[0], tilest.shape[1]
@@ -1030,8 +1050,8 @@ def _core_bwd(num_heads, rate, train, interpret, res, dout):
     B, D, L = xt.shape
     F = w2.shape[0]
     hd = D // num_heads
-    if L > FB_WHOLESEQ_MAX:
-        tilest = _tiles_t(rab, _attn_blk(L, bwd=True))
+    if L > wholeseq_max_l(D):
+        tilest = _tiles_t(rab, _attn_blk(L, bwd=True, D=D))
         outs = _bwd_call_chunk(xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13,
                                w2, seed1, avt, dout, tilest, num_heads,
                                rate, train, interpret)
@@ -1097,12 +1117,13 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
         return False
     if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
         return False
-    # L <= FB_WHOLESEQ_MAX runs the whole-seq kernels; beyond that, the
-    # chunked kernels (VMEM ~flat in L) up to the probed MAX_CHUNKED_L
+    # L <= wholeseq_max_l(D) runs the whole-seq kernels; beyond that, the
+    # chunked kernels (VMEM ~flat in L, D-scaled ceiling) up to the probed
+    # MAX_CHUNKED_L
     if not (256 <= L and L % FB_BLK == 0):
         return False
-    if L > FB_WHOLESEQ_MAX and not (L <= MAX_CHUNKED_L
-                                    and L % FB_CHUNK == 0):
+    if L > wholeseq_max_l(cfg.hidden_units) and not (
+            L <= MAX_CHUNKED_L and L % FB_CHUNK == 0):
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
         return False
@@ -1221,7 +1242,7 @@ def ring_fused_supported(cfg, L: int, n_seq: int, backend: str) -> bool:
             (cfg.hidden_units // cfg.num_heads) % 8:
         return False
     try:
-        _n_near(cfg.hstu_rel_pos_buckets, _attn_blk(Lc))
+        _n_near(cfg.hstu_rel_pos_buckets, _attn_blk(Lc, D=cfg.hidden_units))
     except ValueError:
         return False
     return True
@@ -1381,7 +1402,7 @@ def ring_pair_attn(qt, kt, vt, valid3, rab, off_tokens, num_heads,
 def _rpa_fwd(qt, kt, vt, valid3, rab, off_tokens, num_heads, interpret):
     B, D, Lq = qt.shape
     Lk = kt.shape[2]
-    blk = _attn_blk(min(Lq, Lk))
+    blk = _attn_blk(min(Lq, Lk), D=D)
     tilest = _tiles_t(rab, blk)
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk
@@ -1414,7 +1435,7 @@ def _rpa_bwd(num_heads, interpret, res, dav):
     # shared 256 width (per-pair grids are shorter and half the pairs'
     # tiles sit above the causal skip, so there is less per-step overhead
     # to amortize and the [blk, blk] recompute spill costs win out).
-    blk = _attn_blk(min(Lq, Lk))
+    blk = _attn_blk(min(Lq, Lk), D=D)
     tilest = _tiles_t(rab, blk)
     H, nt = tilest.shape[0], tilest.shape[1]
     nqb, nkb = Lq // blk, Lk // blk

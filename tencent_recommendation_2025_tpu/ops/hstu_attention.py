@@ -275,6 +275,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, valid_ref, tiles_ref,
 MAX_WHOLESEQ_L = 1024
 
 
+def _use_long(L: int, D: int) -> bool:
+    """Whole-seq vs chunked-KV dispatch, D-aware: the whole-seq kernels hold
+    [L, D] q/k/v(/do) plus f32 stripe transients in VMEM, so the L ceiling
+    scales ~1/D. Probed on v5e 2026-08-20 (via the fused-block twin of this
+    kernel): D=64 fits at L=1024; D=128 at L=1024 needs 20.9 MB scoped VMEM
+    against the 16 MB Mosaic limit. Tests monkeypatch MAX_WHOLESEQ_L, so
+    read it dynamically."""
+    return L * max(D, 64) > MAX_WHOLESEQ_L * 64
+
+
 def _chunk_mask(qb, kb, valid_ref, seq_len):
     f32 = jnp.float32
     blk = valid_ref.shape[-1]  # chunk block size (from the block spec)
@@ -506,7 +516,7 @@ def _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
 def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,
                 interpret, silu_qkv):
     B, L, D = q.shape
-    if L > MAX_WHOLESEQ_L:
+    if _use_long(L, D):
         return _pallas_fwd_long(q, k, v, valid3, tiles, seq_len, scale,
                                 num_heads, interpret, silu_qkv)
     nq = L // BLK
@@ -533,7 +543,7 @@ def _pallas_fwd(q, k, v, valid3, tiles, seq_len, scale, num_heads,
 def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
                 interpret, silu_qkv):
     B, L, D = q.shape
-    if L > MAX_WHOLESEQ_L:
+    if _use_long(L, D):
         return _pallas_bwd_long(q, k, v, do, valid3, tiles, seq_len, scale,
                                 num_heads, interpret, silu_qkv)
     nq = L // BLK
@@ -571,10 +581,10 @@ def _pallas_bwd(q, k, v, do, valid3, tiles, seq_len, scale, num_heads,
     return dq, dk, dv, dtiles
 
 
-def _tile_blk(L: int, H: int, buckets: int) -> int:
+def _tile_blk(L: int, H: int, buckets: int, D: int = 64) -> int:
     """Bias-tile block size: whole-seq stripes use BLK; the chunked-KV
-    variant (L > MAX_WHOLESEQ_L) uses the larger _chunk_blk."""
-    return _chunk_blk(L, H, buckets) if L > MAX_WHOLESEQ_L else BLK
+    variant (_use_long) uses the larger _chunk_blk."""
+    return _chunk_blk(L, H, buckets) if _use_long(L, D) else BLK
 
 
 def _bias_tiles_transpose(dtiles: jnp.ndarray, buckets: int) -> jnp.ndarray:
@@ -608,7 +618,7 @@ def _bias_tiles_transpose(dtiles: jnp.ndarray, buckets: int) -> jnp.ndarray:
 def _hstu_attn_core(q, k, v, valid3, rab, seq_len, num_heads, interpret,
                     silu_qkv):
     tiles = _bias_tiles(rab, _tile_blk(q.shape[1], rab.shape[0],
-                                       rab.shape[1]))
+                                       rab.shape[1], q.shape[-1]))
     hd = q.shape[-1] // num_heads
     return _pallas_fwd(q, k, v, valid3, tiles, seq_len, hd ** -0.5,
                        num_heads, interpret, silu_qkv)
@@ -623,7 +633,7 @@ def _core_fwd(q, k, v, valid3, rab, seq_len, num_heads, interpret,
 
 def _core_bwd(seq_len, num_heads, interpret, silu_qkv, res, g):
     q, k, v, valid3, rab = res
-    blk = _tile_blk(q.shape[1], rab.shape[0], rab.shape[1])
+    blk = _tile_blk(q.shape[1], rab.shape[0], rab.shape[1], q.shape[-1])
     tiles = _bias_tiles(rab, blk)
     hd = q.shape[-1] // num_heads
     dq, dk, dv, dtiles = _pallas_bwd(q, k, v, g, valid3, tiles, seq_len,

@@ -1074,9 +1074,8 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
         pending.clear()
 
     def epoch_batches(epoch):
-        it = train_loader.epoch(epoch)
         if not (cfg.train.sparse_tables or dedup_on):
-            return it
+            return train_loader.epoch(epoch)
         from ..ops.sparse_table import mesh_table_shards
         n_shards = mesh_table_shards(mesh) if mesh is not None else 1
 
@@ -1093,8 +1092,13 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                                          usernum=model.usernum)
             return b
 
-        # host-side prep (dedup + negatives) rides the prefetch thread
-        return (prep(b, i) for i, b in enumerate(it))
+        # host-side prep (dedup + negatives): the cached loader runs it on
+        # its worker pool (keyed by batch index — deterministic regardless
+        # of scheduling); other loaders get it serially on the prefetch
+        # thread
+        if getattr(train_loader, "supports_prep", False):
+            return train_loader.epoch(epoch, prep=prep)
+        return (prep(b, i) for i, b in enumerate(train_loader.epoch(epoch)))
 
     if start_epoch >= epochs and verbose:
         print(f"resume: {start_epoch}/{epochs} epochs already trained — "

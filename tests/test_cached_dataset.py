@@ -81,3 +81,37 @@ def test_cached_loader_batches(small_setup):
     # different epochs -> different negatives
     b1 = next(iter(loader.epoch(1)))
     assert not np.array_equal(b0["neg"], b1["neg"])
+
+
+def test_pooled_prep_matches_serial(small_setup):
+    """epoch(prep=...) runs prep on the worker pool; results must equal the
+    serial generator wrapping (the pre-round-5 wiring) batch for batch."""
+    import dataclasses
+    import types
+
+    from tencent_recommendation_2025_tpu.train.trainer import (
+        augment_batch_dedup)
+
+    sampler = TrainSampler(small_setup["data"], small_setup["schema"],
+                           maxlen=20)
+    cache = PackedCache(sampler, num_workers=4)
+    cfg = small_setup["cfg"]
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=8, tower_dedup=True))
+    t = small_setup["tables"]
+    feats = types.SimpleNamespace(sparse=t.sparse, array=t.array)
+    itemnum = small_setup["data"].itemnum
+
+    def prep(b, i):
+        return augment_batch_dedup(b, cfg, feats, itemnum,
+                                   step_key=(0, 97, 0, i), n_data_shards=1)
+
+    loader = CachedTrainLoader(cache, np.arange(len(cache)), batch_size=8,
+                               seed=0, num_workers=4)
+    pooled = list(loader.epoch(0, prep=prep))
+    serial = [prep(b, i) for i, b in enumerate(loader.epoch(0))]
+    assert len(pooled) == len(serial) > 1
+    for bp, bs in zip(pooled, serial):
+        assert set(bp) == set(bs)
+        for k in bp:
+            np.testing.assert_array_equal(bp[k], bs[k], err_msg=k)
