@@ -119,10 +119,17 @@ def wholeseq_max_l(D: int) -> int:
     v5e (2026-08-20): D=64 fits at L=1024 (= FB_WHOLESEQ_MAX, round 4);
     D=128 at L=1024 needs 20.93 MB scoped VMEM against the 16 MB Mosaic
     limit — the same +25-30%-over-limit signature as D=64 at L=2048.
-    Floored at FB_CHUNK so the chunked pipeline (which requires
-    L % FB_CHUNK == 0) takes over exactly where the whole-seq kernels
-    stop fitting."""
-    return max(FB_CHUNK, FB_WHOLESEQ_MAX * 64 // max(D, 64))
+    Above the ceiling the chunked pipeline takes over (it requires
+    L % FB_CHUNK == 0 — fused_block_supported gates the L values neither
+    variant can run, e.g. D=256 at L=384)."""
+    return FB_WHOLESEQ_MAX * 64 // max(D, 64)
+
+
+# Widest model the CHUNKED kernels accept: the attention stages' minimum
+# tile is FB_BLK=128 wide and stage transients scale ~D*blk, so beyond
+# D = 64*FB_ATTN_BLK_BWD/FB_BLK = 256 even the narrowest tile exceeds the
+# probed D=64 VMEM budget — the gate falls back to the unfused XLA path.
+MAX_FUSED_D = 64 * FB_ATTN_BLK_BWD // FB_BLK
 
 _EPS = 1e-8  # models/embedding.layernorm default
 
@@ -846,7 +853,7 @@ def _fwd_call_chunk(xt, valid3, rab, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
     hd = D // num_heads
     cdt = xt.dtype
     f32 = jnp.float32
-    CH = FB_CHUNK
+    CH = _chunk_of(L, D)
     nc = L // CH
     blk = _attn_blk(L, D=D)
     nqb = L // blk
@@ -928,7 +935,7 @@ def _bwd_call_chunk(xt, valid3, lnt, wuvqk, buvqkt, wo, bot, w13, w2,
     F = w2.shape[0]
     H, nt = tilest.shape[0], tilest.shape[1]
     hd = D // num_heads
-    CH = FB_CHUNK
+    CH = _chunk_of(L, D)
     nc = L // CH
     f32 = jnp.float32
     cdt = xt.dtype
@@ -1117,13 +1124,16 @@ def fused_block_supported(cfg, L: int, backend: str) -> bool:
         return False
     if cfg.block_type != "hstu" or cfg.ffn_type != "swiglu":
         return False
+    if cfg.hidden_units > MAX_FUSED_D:
+        return False
     # L <= wholeseq_max_l(D) runs the whole-seq kernels; beyond that, the
     # chunked kernels (VMEM ~flat in L, D-scaled ceiling) up to the probed
     # MAX_CHUNKED_L
     if not (256 <= L and L % FB_BLK == 0):
         return False
     if L > wholeseq_max_l(cfg.hidden_units) and not (
-            L <= MAX_CHUNKED_L and L % FB_CHUNK == 0):
+            L <= MAX_CHUNKED_L
+            and _chunk_of(L, cfg.hidden_units) is not None):
         return False
     if cfg.hidden_units % cfg.num_heads != 0:
         return False
@@ -1217,10 +1227,15 @@ def fused_hstu_block(x, bp, token_type, seed, num_heads: int,
 # the kernels' scalar-prefetch operand next to the dropout seed.
 # ---------------------------------------------------------------------------
 
-def _chunk_of(Lc: int):
-    """Projection/FFN chunk width for a local shard of length Lc."""
+def _chunk_of(Lc: int, D: int = 64):
+    """Projection/FFN chunk width for a (shard-)length Lc at model width D.
+
+    The chunk-stage transients scale ~D*CH ([4D, CH] / [2F, CH] f32):
+    probed on v5e 2026-08-20, CH=512 fits D<=128 but at D=256 the backward
+    gate/FFN stage needs 17.52 MB against the 16 MB Mosaic limit — so the
+    width keeps D*CH <= 128*FB_CHUNK (the probed D=128 budget)."""
     for c in (FB_CHUNK, 256, 128):
-        if Lc % c == 0:
+        if Lc % c == 0 and D * c <= 128 * FB_CHUNK:
             return c
     return None
 
@@ -1235,8 +1250,10 @@ def ring_fused_supported(cfg, L: int, n_seq: int, backend: str) -> bool:
         return False
     if L % n_seq:
         return False
+    if cfg.hidden_units > MAX_FUSED_D:
+        return False
     Lc = L // n_seq
-    if Lc < 256 or Lc % FB_BLK or _chunk_of(Lc) is None:
+    if Lc < 256 or Lc % FB_BLK or _chunk_of(Lc, cfg.hidden_units) is None:
         return False
     if cfg.hidden_units % cfg.num_heads or \
             (cfg.hidden_units // cfg.num_heads) % 8:
@@ -1494,7 +1511,7 @@ def ring_pre_proj(xt, lnt, wuvqk, buvqkt, seq_len, num_heads, interpret):
 
 def _rpp_fwd(xt, lnt, wuvqk, buvqkt, seq_len, num_heads, interpret):
     B, D, Lc = xt.shape
-    CH = _chunk_of(Lc)
+    CH = _chunk_of(Lc, D)
     nc = Lc // CH
     hd = D // num_heads
     cdt = xt.dtype
@@ -1520,7 +1537,7 @@ def _rpp_bwd(seq_len, num_heads, interpret, res, cots):
     xt, lnt, wuvqk, buvqkt = res
     dqt, dkt, dvt, dut = cots
     B, D, Lc = xt.shape
-    CH = _chunk_of(Lc)
+    CH = _chunk_of(Lc, D)
     nc = Lc // CH
     hd = D // num_heads
     f32 = jnp.float32
@@ -1571,7 +1588,7 @@ def _rpg_fwd(xt, avt, ut, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seedv,
              seq_len, num_heads, rate, train, interpret):
     B, D, Lc = xt.shape
     F = w2.shape[0]
-    CH = _chunk_of(Lc)
+    CH = _chunk_of(Lc, D)
     nc = Lc // CH
     cdt = xt.dtype
     seed1 = jnp.reshape(seedv, (1,)).astype(jnp.int32)
@@ -1596,7 +1613,7 @@ def _rpg_bwd(seq_len, num_heads, rate, train, interpret, res, dout):
     xt, avt, lnt, wuvqk, buvqkt, wo, bot, w13, w2, seed1 = res
     B, D, Lc = xt.shape
     F = w2.shape[0]
-    CH = _chunk_of(Lc)
+    CH = _chunk_of(Lc, D)
     nc = Lc // CH
     hd = D // num_heads
     f32 = jnp.float32

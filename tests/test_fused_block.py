@@ -139,9 +139,25 @@ def test_supported_gate():
     assert FB.fused_block_supported(cfg, 8192, "tpu")       # round-5 probe
     assert FB.fused_block_supported(cfg, 16384, "tpu")      # round-5 probe
     assert not FB.fused_block_supported(cfg, 32768, "tpu")  # > chunked cap
-    assert not FB.fused_block_supported(cfg, 2176, "tpu")   # not /FB_CHUNK
+    # not /FB_CHUNK: the chunk width falls back to 256/128 (round 5)
+    assert FB.fused_block_supported(cfg, 2176, "tpu")
     assert not FB.fused_block_supported(cfg, 100, "tpu")    # not /128
     import dataclasses
+
+    # D-aware ceilings (round 5): larger D runs — whole-seq below
+    # wholeseq_max_l(D), chunked above — up to MAX_FUSED_D; beyond that the
+    # unfused XLA path takes over instead of a VMEM compile abort
+    for D, H in ((128, 1), (256, 1)):
+        cfgD = _cfg(D=D, H=H)
+        assert FB.fused_block_supported(cfgD, 1024, "tpu")
+        assert FB.wholeseq_max_l(D) == 1024 * 64 // D
+    assert not FB.fused_block_supported(_cfg(D=512, H=1), 1024, "tpu")
+    assert FB._chunk_of(1024, 64) == 512
+    assert FB._chunk_of(1024, 128) == 512   # probed: CH=512 fits D<=128
+    assert FB._chunk_of(1024, 256) == 256   # probed: D=256 needs CH=256
+    assert FB._attn_blk(1024, bwd=True, D=64) == 512
+    assert FB._attn_blk(1024, bwd=True, D=128) == 256
+    assert FB._attn_blk(1024, bwd=True, D=256) == 128
     assert not FB.fused_block_supported(
         dataclasses.replace(cfg, ffn_type="relu"), 1024, "tpu")
     assert not FB.fused_block_supported(
@@ -232,3 +248,17 @@ def test_chunked_dropout_determinism(small_chunk):
                                    train=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out_same))
     assert not np.allclose(np.asarray(out1), np.asarray(out_diff))
+
+
+def test_chunked_fallback_chunk_width_matches_oracle(small_chunk):
+    """L = 384 is not divisible by the (monkeypatched) FB_CHUNK=256, so
+    _chunk_of falls back to CH=128 — the width the round-5 gate now accepts
+    for non-FB_CHUNK-divisible L (and for D=256, where the probed VMEM
+    budget forces CH=256 at any L)."""
+    assert FB._chunk_of(384, 16) == 128
+    cfg, params, x, tt = _setup(B=2, L=384, D=16, H=2, seed=23)
+    out = FB.fused_hstu_block(x, params, tt, jnp.int32(0), cfg.num_heads,
+                              interpret=True)
+    ref = _oracle_block(params, x, tt, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
