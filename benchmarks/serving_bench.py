@@ -136,6 +136,37 @@ def main():
                       "queries_per_s": round(Q / per_call),
                       "recall_vs_exact": round(recall, 4)}), flush=True)
 
+    # ---- int8 quantized-corpus top-10 (4x smaller HBM footprint) --------
+    codes, cscales = MIPS.quantize_corpus_int8(corpus)
+
+    @partial(jax.jit, static_argnums=3)
+    def run_int8(queries, codes, cscales, iters):
+        def body(c, _):
+            scores, idx = MIPS.topk_mips_int8(queries + c * 0.0, codes,
+                                              cscales, k=10)
+            return scores.max(), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return s
+
+    float(run_int8(queries, codes, cscales, 2))
+    float(run_int8(queries, codes, cscales, 10))
+    for iters in (2, 10):
+        t0 = time.perf_counter()
+        float(run_int8(queries, codes, cscales, iters))
+        dt_i = time.perf_counter() - t0
+        if iters == 2:
+            dt2 = dt_i
+    per_call = (dt_i - dt2) / 8
+    _, qi = MIPS.topk_mips_int8(queries, codes, cscales, k=10)
+    qi = np.asarray(qi)
+    recall_q = float(np.mean([len(set(ei[i]) & set(qi[i])) / 10
+                              for i in range(256)]))
+    print(json.dumps({"bench": "int8_mips_top10", "corpus": N_ITEMS,
+                      "queries": Q, "ms_per_batch": round(per_call * 1000, 2),
+                      "queries_per_s": round(Q / per_call),
+                      "recall_vs_exact": round(recall_q, 4)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

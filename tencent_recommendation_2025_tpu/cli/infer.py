@@ -38,7 +38,7 @@ def get_args(argv=None):
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--norm_first", action="store_true")
     p.add_argument("--ann_method", default="exact",
-               choices=["exact", "approx", "hnsw", "semantic"])
+               choices=["exact", "approx", "int8", "hnsw", "semantic"])
     p.add_argument("--beam_width", default=32, type=int,
                    help="beam width for --ann_method semantic")
     p.add_argument("--num_workers", default=8, type=int)

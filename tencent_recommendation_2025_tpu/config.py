@@ -175,7 +175,9 @@ class RetrievalConfig:
     hnsw_ef_construction: int = 1280
     hnsw_ef_search: int = 640
     metric_type: int = 0             # 0 = inner product
-    method: str = "exact"            # "exact" | "approx" (HW approx_max_k) | "hnsw" (C++ tool)
+    method: str = "exact"            # "exact" | "approx" (HW approx_max_k)
+    #                                  | "int8" (quantized corpus, 4x
+    #                                  smaller HBM) | "hnsw" (C++ tool)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,13 +68,16 @@ def run_ann(result_dir, cfg: RetrievalConfig = RetrievalConfig(),
     # exact fallback (and the primary TPU path): on-device MIPS;
     # method="approx" rides the hardware approx_max_k (16x faster at
     # measured recall 1.0 — the TPU-native analog of the reference's
-    # approximate HNSW serving)
+    # approximate HNSW serving); method="int8" quantizes the corpus to
+    # int8 + per-row scales (4x smaller — the single-chip route when the
+    # f32 corpus exceeds HBM, e.g. 100M x 64)
     from ..mips import retrieve_topk
 
     corpus = formats.load_fbin(result_dir / dataset_file)
     ids = formats.load_u64bin(result_dir / id_file)[:, 0]
     queries = formats.load_fbin(result_dir / query_file)
     top = retrieve_topk(queries, corpus, ids, k=cfg.top_k,
-                        approx=(cfg.method == "approx"))
+                        approx=(cfg.method == "approx"),
+                        quantize=(cfg.method == "int8"))
     formats.save_result_ids(top, out)
     return out

@@ -103,3 +103,51 @@ def test_sharded_topk_mips_approx_matches_exact():
     es, ei = sharded_topk_mips(mesh, q, c, k=10)
     as_, ai = sharded_topk_mips(mesh, q, c, k=10, approx=True)
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+
+
+def test_int8_quantized_mips_recall():
+    """int8 corpus path: per-row symmetric quantization round-trips within
+    1/127 relative, and top-10 recall vs exact f32 stays high on random
+    embeddings (the serving bench measures it on the real distribution)."""
+    import numpy as np
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        quantize_corpus_int8, topk_mips, topk_mips_int8)
+
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((4000, 16)).astype(np.float32)
+    codes, scales = quantize_corpus_int8(c)
+    assert np.asarray(codes).dtype == np.int8
+    assert codes.shape == (16, 4000)  # [D, N]: int8 lane-padding trap
+    deq = np.asarray(codes).T.astype(np.float32) \
+        * np.asarray(scales)[:, None]
+    np.testing.assert_allclose(deq, c, atol=np.abs(c).max() / 127 + 1e-6)
+    # zero rows: scale 1, codes 0
+    codes0, scales0 = quantize_corpus_int8(np.zeros((3, 16), np.float32))
+    assert np.all(np.asarray(codes0) == 0) and np.all(
+        np.asarray(scales0) == 1.0)
+
+    q = rng.standard_normal((128, 16)).astype(np.float32)
+    _, ei = topk_mips(q, c, k=10)
+    _, qi = topk_mips_int8(q, codes, scales, k=10, block_n=1024,
+                           approx=False)
+    ei, qi = np.asarray(ei), np.asarray(qi)
+    recall = np.mean([len(set(ei[i]) & set(qi[i])) / 10
+                      for i in range(len(ei))])
+    assert recall >= 0.95, recall
+
+
+def test_int8_retrieve_topk_host_wrapper():
+    import numpy as np
+    from tencent_recommendation_2025_tpu.retrieval.mips import retrieve_topk
+
+    rng = np.random.default_rng(12)
+    c = rng.standard_normal((500, 16)).astype(np.float32)
+    q = c[:40] * 3.0
+    ids = (np.arange(500, dtype=np.uint64) + 7) * 11
+    got = retrieve_topk(q, c, ids, k=5, mesh=None, quantize=True)
+    exact = retrieve_topk(q, c, ids, k=5, mesh=None)
+    assert got.shape == (40, 5) and got.dtype == np.uint64
+    # quantized ranking tracks exact f32 (ties/near-ties may reorder)
+    overlap = np.mean([len(set(got[i]) & set(exact[i])) / 5
+                       for i in range(len(got))])
+    assert overlap >= 0.9, overlap
