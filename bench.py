@@ -199,6 +199,27 @@ def main():
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
 
+    # Fourth headline (round 5): single-chip serving over the 100M-item
+    # int8-quantized corpus (6.4 GB resident — the f32 corpus cannot exist
+    # on one v5e). Subprocess for clean HBM. BENCH_INT8=0 skips.
+    if os.environ.get("BENCH_INT8", "1") != "0" and \
+            jax.default_backend() in ("tpu", "axon"):
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).resolve().parent / "benchmarks" /
+                     "int8_corpus_100m_bench.py")],
+                capture_output=True, text=True, timeout=900)
+            for ln in r.stdout.splitlines():
+                if ln.startswith("{"):
+                    print(ln, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": "int8_corpus_100m_top10",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
     print(flagship_line, flush=True)
 
 
