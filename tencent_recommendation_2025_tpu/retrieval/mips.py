@@ -301,6 +301,85 @@ def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int,
                                  out_specs=(P(), P()), check_vma=False))
 
 
+def sharded_topk_mips_int8(mesh, queries: jnp.ndarray,
+                           corpus_embs, k: int = 10,
+                           block_n: int = 262_144
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed int8 top-k: quantize on host-visible f32 input, shard
+    the [D, N] code store column-wise (= corpus rows) over every mesh axis,
+    run the local int8 blocked top-k per shard, and merge the k winners
+    exactly — the beyond-one-chip tier of the quantized path (S chips hold
+    S x 100M rows at 6.4 GB/chip).
+
+    ``corpus_embs`` may be [N, D] f32 (quantized here) or a pre-quantized
+    ``(codes_t [D, N], scales [N])`` pair — pre-place with
+    :func:`shard_corpus_int8` when serving many query batches so the pad +
+    placement happens once. Queries replicate.
+    """
+    codes_t, scales, N = shard_corpus_int8(mesh, corpus_embs)
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    rows = codes_t.shape[1] // n_shards
+    return _sharded_topk_int8_fn(mesh, k, block_n, rows, N)(
+        queries, codes_t, scales)
+
+
+def shard_corpus_int8(mesh, corpus_embs):
+    """Quantize (if needed), pad to a shard multiple, and column-shard the
+    [D, N] code store + scales over every mesh axis. Returns
+    ``(codes_t, scales, n_valid)``; already-placed inputs pass through
+    (device_put to an identical sharding is a no-op)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if isinstance(corpus_embs, tuple):
+        if len(corpus_embs) == 3:            # already (codes, scales, N)
+            return corpus_embs
+        codes_t, scales = corpus_embs
+    else:
+        codes_t, scales = quantize_corpus_int8(corpus_embs)
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    N = codes_t.shape[1]
+    rows = -(-N // n_shards)
+    if rows * n_shards != N:
+        pad = rows * n_shards - N
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, pad)))
+        scales = jnp.pad(scales, (0, pad))
+    codes_t = jax.device_put(codes_t, NamedSharding(mesh, P(None, axes)))
+    scales = jax.device_put(scales, NamedSharding(mesh, P(axes)))
+    return codes_t, scales, N
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_topk_int8_fn(mesh, k: int, block_n: int, rows: int, N: int):
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(q, ct, sc):
+        shard = jnp.int32(0)
+        for a in axes:
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        s, li = topk_mips_int8(q, ct, sc, k=k, block_n=block_n,
+                               approx=True)
+        gi = li + shard * rows
+        valid = gi < N
+        gi = jnp.where(valid, gi, 0)
+        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+        all_s = jax.lax.all_gather(s, axes)
+        all_i = jax.lax.all_gather(gi, axes)
+        Q = q.shape[0]
+        cat_s = all_s.transpose(1, 0, 2).reshape(Q, n_shards * k)
+        cat_i = all_i.transpose(1, 0, 2).reshape(Q, n_shards * k)
+        best_s, pos = jax.lax.top_k(cat_s, k)
+        return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P(None, axes), P(axes)),
+                                 out_specs=(P(), P()), check_vma=False))
+
+
 def retrieve_topk(query_embs: np.ndarray, corpus_embs: np.ndarray,
                   corpus_ids: np.ndarray, k: int = 10,
                   query_batch: int = 4096, mesh=None,
@@ -320,12 +399,18 @@ def retrieve_topk(query_embs: np.ndarray, corpus_embs: np.ndarray,
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
-    if quantize and mesh is None:
-        codes, scales = quantize_corpus_int8(np.asarray(corpus_embs))
+    if quantize:
+        if mesh is not None:
+            quantized = shard_corpus_int8(mesh, np.asarray(corpus_embs))
+        else:
+            quantized = quantize_corpus_int8(np.asarray(corpus_embs))
         out = []
         for s in range(0, len(query_embs), query_batch):
             q = jnp.asarray(query_embs[s:s + query_batch], jnp.float32)
-            _, idx = topk_mips_int8(q, codes, scales, k=k)
+            if mesh is not None:
+                _, idx = sharded_topk_mips_int8(mesh, q, quantized, k=k)
+            else:
+                _, idx = topk_mips_int8(q, *quantized, k=k)
             out.append(np.asarray(idx))
         return np.asarray(corpus_ids)[np.concatenate(out, axis=0)]
     corpus = jnp.asarray(corpus_embs, jnp.float32)

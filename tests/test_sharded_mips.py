@@ -151,3 +151,31 @@ def test_int8_retrieve_topk_host_wrapper():
     overlap = np.mean([len(set(got[i]) & set(exact[i])) / 5
                        for i in range(len(got))])
     assert overlap >= 0.9, overlap
+
+
+def test_sharded_int8_matches_single_device():
+    """int8 sharded over the 8-device mesh == the single-device int8 result
+    (uneven shard tail + per-shard local pad both exercised), and the
+    retrieve_topk wrapper routes quantize=True through the sharded path."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        quantize_corpus_int8, retrieve_topk, sharded_topk_mips_int8,
+        topk_mips_int8)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
+    rng = np.random.default_rng(21)
+    c = rng.standard_normal((1003, 16)).astype(np.float32)  # uneven shards
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    codes, scales = quantize_corpus_int8(c)
+    ss, si = sharded_topk_mips_int8(mesh, q, (codes, scales), k=10,
+                                    block_n=128)
+    ds, di = topk_mips_int8(q, codes, scales, k=10, block_n=128,
+                            approx=False)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds), rtol=1e-6)
+
+    ids = np.arange(1003, dtype=np.uint64) * 3 + 5
+    got = retrieve_topk(q, c, ids, k=10, mesh=mesh, quantize=True)
+    np.testing.assert_array_equal(got, np.asarray(ids)[np.asarray(di)])
