@@ -247,3 +247,16 @@ def test_silu_qkv_fused_long_variant(monkeypatch):
     for a, b, name in zip(gk, go, ("dq", "dk", "dv", "drab")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_use_long_dispatch_is_d_aware():
+    """Whole-seq vs chunked-KV dispatch scales ~1/D (probed on v5e: D=64
+    fits L=1024, D=128 at L=1024 needs 20.9 MB scoped VMEM vs the 16 MB
+    limit); small test D's clamp to the D=64 budget so the monkeypatched
+    ceilings keep their old meaning."""
+    assert not HK._use_long(1024, 64)
+    assert HK._use_long(2048, 64)
+    assert HK._use_long(1024, 128)
+    assert not HK._use_long(512, 128)
+    assert HK._use_long(512, 256)
+    assert not HK._use_long(1024, 16)  # clamps to the D=64 budget
