@@ -39,11 +39,12 @@ def main():
 
     from tencent_recommendation_2025_tpu.retrieval import mips as MIPS
 
-    D, Q, BLOCK = 64, 1024, 262_144
-    # block-aligned row count (~100.1M): topk_mips_int8 pads ragged corpora
+    D, Q, BLOCK = 64, 1024, 4_194_304
+    # block-aligned row count (~100.7M): topk_mips_int8 pads ragged corpora
     # to a block multiple, which at this scale is a transient 6.4 GB copy
-    # alongside the resident original — aligned N avoids it entirely
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 382 * BLOCK
+    # alongside the resident original — aligned N avoids it entirely.
+    # 4M-row blocks are the swept optimum (see topk_mips_int8 docstring)
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 24 * BLOCK
 
     @jax.jit
     def make_corpus(key):
