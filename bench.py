@@ -191,9 +191,18 @@ def main():
                  str(Path(__file__).resolve().parent / "benchmarks" /
                      "sparse_table_bench.py"), "--100m"],
                 capture_output=True, text=True, timeout=1800)
+            emitted = False
             for ln in r.stdout.splitlines():
                 if ln.startswith("{"):
                     print(ln, flush=True)
+                    emitted = True
+            if r.returncode != 0 or not emitted:
+                # a crashed child (OOM, import error) must leave an error
+                # record, not a silently missing line
+                print(json.dumps({
+                    "metric": "sparse_table_step_100M",
+                    "error": f"rc={r.returncode}: "
+                             f"{r.stderr.strip()[-300:]}"}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"metric": "sparse_table_step_100M",
                               "error": f"{type(e).__name__}: {e}"[:300]}),
@@ -212,9 +221,16 @@ def main():
                  str(Path(__file__).resolve().parent / "benchmarks" /
                      "int8_corpus_100m_bench.py")],
                 capture_output=True, text=True, timeout=900)
+            emitted = False
             for ln in r.stdout.splitlines():
                 if ln.startswith("{"):
                     print(ln, flush=True)
+                    emitted = True
+            if r.returncode != 0 or not emitted:
+                print(json.dumps({
+                    "metric": "int8_corpus_100m_top10",
+                    "error": f"rc={r.returncode}: "
+                             f"{r.stderr.strip()[-300:]}"}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"metric": "int8_corpus_100m_top10",
                               "error": f"{type(e).__name__}: {e}"[:300]}),

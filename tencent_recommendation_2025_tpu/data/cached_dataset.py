@@ -203,13 +203,19 @@ class CachedTrainLoader:
 
         from collections import deque
 
+        # ramp-up is INCREMENTAL (1 in flight before the first yield, top
+        # up to num_workers+1 after each one): single-batch consumers —
+        # trainer's one-batch shape probe, tests — would otherwise build
+        # and discard num_workers speculative batches (~70 ms each at
+        # flagship shapes) and block on pool shutdown for them
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             inflight: deque = deque()
-            for b in range(min(self.num_workers + 1, n)):
-                inflight.append(pool.submit(build, b))
-            next_b = len(inflight)
+            next_b = 0
+            if n:
+                inflight.append(pool.submit(build, 0))
+                next_b = 1
             while inflight:
                 yield inflight.popleft().result()
-                if next_b < n:
+                while next_b < n and len(inflight) <= self.num_workers:
                     inflight.append(pool.submit(build, next_b))
                     next_b += 1

@@ -198,7 +198,10 @@ def make_attention_cores(cfg: ModelConfig, token_type: jnp.ndarray,
         hstu_core.packed = True  # consumes [B, L, D], not [B, H, L, hd]
 
         mha_core = None
-        if L <= 1024:  # flash-MHA whole-seq VMEM budget
+        # flash-MHA whole-seq VMEM budget, D-aware like the HSTU twin
+        # (hstu_attention._use_long): the [L, D] whole-seq tiles scale
+        # ~D*L against the probed D=64/L=1024 ceiling
+        if L * max(cfg.hidden_units, 64) <= 1024 * 64:
             from ..ops import flash_attention as FA
 
             def mha_core(q, k, v):

@@ -119,9 +119,10 @@ def wholeseq_max_l(D: int) -> int:
     v5e (2026-08-20): D=64 fits at L=1024 (= FB_WHOLESEQ_MAX, round 4);
     D=128 at L=1024 needs 20.93 MB scoped VMEM against the 16 MB Mosaic
     limit — the same +25-30%-over-limit signature as D=64 at L=2048.
-    Above the ceiling the chunked pipeline takes over (it requires
-    L % FB_CHUNK == 0 — fused_block_supported gates the L values neither
-    variant can run, e.g. D=256 at L=384)."""
+    Above the ceiling the chunked pipeline takes over: it needs a chunk
+    width from _chunk_of (FB_CHUNK with 256/128 fallbacks, D-capped), and
+    fused_block_supported gates the rare L values where no width divides
+    (any L % FB_BLK != 0)."""
     return FB_WHOLESEQ_MAX * 64 // max(D, 64)
 
 

@@ -132,7 +132,25 @@ def quantize_corpus_int8(corpus) -> Tuple[jnp.ndarray, jnp.ndarray]:
     its minor dim 64 -> 128 — a 2x expansion that put the 100M corpus at
     23.9 GB and OOM'd HBM (probed on v5e 2026-08-20). [D, N] keeps the
     minor dim huge (no padding) and is the natural right-operand layout
-    for the scoring matmul. Zero-vector rows get scale 1 (codes 0)."""
+    for the scoring matmul. Zero-vector rows get scale 1 (codes 0).
+
+    Host (numpy) input quantizes ON THE HOST in row chunks: committing the
+    f32 corpus to device first would need 25.6 GB at the 100M scale this
+    path exists for (v5e HBM is 16 GB) — only the 6.4 GB int8 codes ever
+    reach the device (caught by review, round 5). Device-array input keeps
+    the on-device path (cheap at served-corpus sizes that already fit)."""
+    if isinstance(corpus, np.ndarray):
+        corpus = np.asarray(corpus, np.float32)
+        N, D = corpus.shape
+        scales_h = np.abs(corpus).max(axis=1) / 127.0
+        scales_h[scales_h == 0] = 1.0
+        codes_h = np.empty((D, N), np.int8)
+        step = max(1, (1 << 27) // max(D, 1))    # ~128M f32 elems/chunk
+        for s in range(0, N, step):
+            blk = corpus[s:s + step] / scales_h[s:s + step, None]
+            codes_h[:, s:s + step] = np.clip(
+                np.rint(blk), -127, 127).astype(np.int8).T
+        return jnp.asarray(codes_h), jnp.asarray(scales_h, jnp.float32)
     corpus = jnp.asarray(corpus, jnp.float32)
     amax = jnp.max(jnp.abs(corpus), axis=1)
     scales = jnp.where(amax > 0, amax / 127.0, 1.0)
@@ -141,10 +159,12 @@ def quantize_corpus_int8(corpus) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return codes_t, scales
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "approx"))
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "approx",
+                                              "n_valid"))
 def topk_mips_int8(queries: jnp.ndarray, codes_t: jnp.ndarray,
                    scales: jnp.ndarray, k: int = 10,
-                   block_n: int = 4_194_304, approx: bool = True
+                   block_n: int = 4_194_304, approx: bool = True,
+                   base=0, n_valid: Optional[int] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k MIPS over an int8-quantized corpus on the MXU integer path.
 
@@ -167,7 +187,14 @@ def topk_mips_int8(queries: jnp.ndarray, codes_t: jnp.ndarray,
     Reference counterpart: the external FAISS HNSW binary
     (model/BaseLine/infer.py:213-225) — this replaces it with single-chip
     every-item scoring at corpus sizes where even f32 storage would not
-    fit the chip."""
+    fit the chip.
+
+    ``base``/``n_valid``: for SHARDED use — row 0 of this code slice has
+    global index ``base`` (may be traced), and global rows >= ``n_valid``
+    are padding that must rank as -inf BEFORE the local top-k (a pad row
+    has scale ~0 and scores ~0, which would displace real items whose
+    best scores are negative — the f32 sharded path masks identically via
+    _topk_blocked's n_valid)."""
     Q, D = queries.shape
     N = codes_t.shape[1]
     q32 = jnp.asarray(queries, jnp.float32)
@@ -204,6 +231,9 @@ def topk_mips_int8(queries: jnp.ndarray, codes_t: jnp.ndarray,
         idx = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1) \
             + b * block_n
         sc = jnp.where(idx < N, sc, jnp.bfloat16(-jnp.inf))
+        if n_valid is not None:
+            sc = jnp.where(idx + base < n_valid, sc,
+                           jnp.bfloat16(-jnp.inf))
         if approx:
             bs, bi = jax.lax.approx_max_k(sc, k, recall_target=0.999)
         else:
@@ -265,6 +295,27 @@ def sharded_topk_mips(mesh, queries: jnp.ndarray, corpus: jnp.ndarray,
                                                                corpus)
 
 
+def _shard_index(mesh, axes):
+    """Linearized shard index inside a shard_map body."""
+    shard = jnp.int32(0)
+    for a in axes:
+        shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+    return shard
+
+
+def _merge_shard_topk(s, gi, axes, n_shards, k):
+    """Cross-shard k-winner merge: one all-gather of each shard's (scores,
+    global indices), exact top-k over the n_shards*k candidates — shared by
+    the f32 and int8 shard_map bodies."""
+    all_s = jax.lax.all_gather(s, axes)            # [n_shards, Q, k]
+    all_i = jax.lax.all_gather(gi, axes)
+    Q = s.shape[0]
+    cat_s = all_s.transpose(1, 0, 2).reshape(Q, n_shards * k)
+    cat_i = all_i.transpose(1, 0, 2).reshape(Q, n_shards * k)
+    best_s, pos = jax.lax.top_k(cat_s, k)
+    return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int,
                      approx: bool = False):
@@ -279,9 +330,7 @@ def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int,
     n_shards = int(np.prod([mesh.shape[a] for a in axes]))
 
     def local(q, c):
-        shard = jnp.int32(0)
-        for a in axes:
-            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        shard = _shard_index(mesh, axes)
         if approx:
             # per-shard hardware approx_max_k; the cross-shard k-winner
             # merge below stays exact
@@ -292,15 +341,7 @@ def _sharded_topk_fn(mesh, k: int, block_n: int, rows: int, N: int,
         else:
             s, gi = _topk_blocked(q, c, k, block_n, base=shard * rows,
                                   n_valid=N)
-        # one all-gather of the k winners per shard, merged everywhere
-        all_s = jax.lax.all_gather(s, axes)        # [n_shards, Q, k]
-        all_i = jax.lax.all_gather(gi, axes)
-        Q = q.shape[0]
-        cat_s = all_s.transpose(1, 0, 2).reshape(Q, n_shards * k)
-        cat_i = all_i.transpose(1, 0, 2).reshape(Q, n_shards * k)
-        best_s, pos = jax.lax.top_k(cat_s, k)
-        best_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return best_s, best_i
+        return _merge_shard_topk(s, gi, axes, n_shards, k)
 
     return jax.jit(jax.shard_map(local, mesh=mesh,
                                  in_specs=(P(), P(axes, None)),
@@ -364,22 +405,14 @@ def _sharded_topk_int8_fn(mesh, k: int, block_n: int, rows: int, N: int):
     n_shards = int(np.prod([mesh.shape[a] for a in axes]))
 
     def local(q, ct, sc):
-        shard = jnp.int32(0)
-        for a in axes:
-            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        shard = _shard_index(mesh, axes)
+        # global-tail padding masks to -inf INSIDE the local top-k: a pad
+        # row has scale ~0 and score ~0, which would displace real items
+        # whose best scores are negative (caught by review repro round 5)
         s, li = topk_mips_int8(q, ct, sc, k=k, block_n=block_n,
-                               approx=True)
-        gi = li + shard * rows
-        valid = gi < N
-        gi = jnp.where(valid, gi, 0)
-        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
-        all_s = jax.lax.all_gather(s, axes)
-        all_i = jax.lax.all_gather(gi, axes)
-        Q = q.shape[0]
-        cat_s = all_s.transpose(1, 0, 2).reshape(Q, n_shards * k)
-        cat_i = all_i.transpose(1, 0, 2).reshape(Q, n_shards * k)
-        best_s, pos = jax.lax.top_k(cat_s, k)
-        return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+                               approx=True, base=shard * rows, n_valid=N)
+        gi = jnp.where(li + shard * rows < N, li + shard * rows, 0)
+        return _merge_shard_topk(s, gi, axes, n_shards, k)
 
     return jax.jit(jax.shard_map(local, mesh=mesh,
                                  in_specs=(P(), P(None, axes), P(axes)),

@@ -179,3 +179,29 @@ def test_sharded_int8_matches_single_device():
     ids = np.arange(1003, dtype=np.uint64) * 3 + 5
     got = retrieve_topk(q, c, ids, k=10, mesh=mesh, quantize=True)
     np.testing.assert_array_equal(got, np.asarray(ids)[np.asarray(di)])
+
+
+def test_sharded_int8_pad_rows_never_displace_negative_scores():
+    """Round-5 review repro: global-tail pad rows have scale ~0 and score
+    ~0; with a query whose TRUE best inner products are all negative and
+    live on the last shard, the pads must not displace them from the local
+    top-k (they must rank -inf BEFORE the per-shard ranking)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from tencent_recommendation_2025_tpu.retrieval.mips import (
+        sharded_topk_mips_int8, topk_mips_int8, quantize_corpus_int8)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("corpus",))
+    rng = np.random.default_rng(33)
+    N, D = 1003, 16  # 8 shards -> rows=126, 5 pad rows on the last shard
+    c = -np.abs(rng.standard_normal((N, D))).astype(np.float32)
+    q = np.abs(rng.standard_normal((4, D))).astype(np.float32)  # all neg
+    codes, scales = quantize_corpus_int8(c)
+    ss, si = sharded_topk_mips_int8(mesh, q, (codes, scales), k=10,
+                                    block_n=128)
+    ds, di = topk_mips_int8(q, codes, scales, k=10, block_n=128,
+                            approx=False)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    assert np.asarray(si).max() < N
+    assert float(np.asarray(ss).max()) < 0  # no zero-score pad leaked
