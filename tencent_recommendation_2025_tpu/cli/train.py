@@ -61,6 +61,10 @@ def get_args(argv=None):
                         "inside one step (exact weighted combine; dense "
                         "tables only) — effective batch at ~1/G activation "
                         "memory")
+    p.add_argument("--eval_retrieval_users", default=None, type=int,
+                   help="epoch-end HR@10/NDCG@10 over up to N validation "
+                        "users (full-corpus item-tower encode + approx "
+                        "MIPS); 0 = off. Single-process non-mesh runs")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", default=None, type=int)
     p.add_argument("--mesh_model", default=None, type=int)
@@ -98,7 +102,8 @@ def build_config(args):
         model_over["norm_first"] = True
     train_over = {k: getattr(args, k) for k in
                   ("batch_size", "lr", "num_epochs", "l2_emb", "loss_type",
-                   "seed", "num_inbatch_negatives", "grad_accum_steps")
+                   "seed", "num_inbatch_negatives", "grad_accum_steps",
+                   "eval_retrieval_users")
                   if getattr(args, k) is not None}
     mesh_over = {}
     for ax in ("data", "model", "seq", "pipe"):

@@ -124,6 +124,13 @@ class TrainConfig:
     # weighted by their masked-position counts. Unsupported with
     # sparse_tables / tower_dedup (host plans index global batch rows).
     grad_accum_steps: int = 1
+    # Epoch-end retrieval eval (HR@10 / NDCG@10 over the validation split):
+    # the competition metric the reference never surfaces during training
+    # (it logs only valid loss, main.py:233-262). Encodes the full item
+    # corpus with the item tower + scores last-position queries via the
+    # approx-MIPS path; single-process, non-mesh runs only (the serving
+    # flow covers sharded eval). 0 users = off.
+    eval_retrieval_users: int = 0
     valid_fraction: float = 0.1      # 90/10 split (reference main.py:72)
     log_every: int = 10
     grad_log_every: int = 100

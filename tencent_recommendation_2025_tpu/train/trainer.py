@@ -922,6 +922,74 @@ def setup_training(model: SeqRecModel, cfg: Config, tables: Dict[str, Any],
             lambda b: PT.shard_batch(mesh, b))
 
 
+def make_retrieval_eval(model: SeqRecModel, tables, mm_tables, put_batch,
+                        max_users: int, k: int = 10):
+    """Epoch-end retrieval eval over the validation split (HR@k / NDCG@k —
+    the competition metric, SURVEY §0). The reference surfaces only valid
+    loss during training (main.py:233-262); here the full item corpus is
+    encoded with the item tower (chunked scan, the cli.infer corpus path)
+    and each validation user's LAST next-item position is scored against
+    it via the hardware approx-MIPS path (measured recall 1.0 vs exact).
+
+    Returns ``eval_fn(params, valid_loader) -> {hr, ndcg, n} | None``.
+    Jitted pieces build once (one compile, reused every epoch).
+    Single-process, non-mesh runs only — the serving flow (cli.infer)
+    covers sharded evaluation."""
+    from ..retrieval import mips as MIPS
+
+    EB = 8192
+    ids_all = np.arange(1, model.itemnum + 1, dtype=np.int32)
+    pad = (-len(ids_all)) % EB
+    ids_all = np.concatenate([ids_all, np.zeros(pad, np.int32)])
+    ids_dev = jnp.asarray(ids_all.reshape(-1, EB))
+
+    @jax.jit
+    def encode_all(params):
+        def body(c, ids):
+            sp = jnp.take(tables["sparse"], ids, axis=0, mode="clip")
+            ar = jnp.take(tables["array"], ids, axis=0, mode="clip")
+            mm = {fid: jnp.take(t, ids, axis=0, mode="clip")
+                  for fid, t in tables["mm"].items()}
+            return c, model.encode_items(params, ids, sp, ar, mm)
+
+        _, embs = jax.lax.scan(body, 0, ids_dev)
+        return embs.reshape(-1, embs.shape[-1])  # row i = item id i+1
+
+    predict = jax.jit(
+        lambda params, b: model.predict(params, b, mm_tables))
+
+    def eval_fn(params, valid_loader):
+        qs, ts, seen = [], [], 0
+        for batch in valid_loader.epoch(0):
+            q = np.asarray(predict(params, put_batch(batch)), np.float32)
+            # last position must be a real sample predicting an item
+            ok = (np.asarray(batch["sample_valid"]) == 1) \
+                & (np.asarray(batch["next_token_type"])[:, -1] == 1) \
+                & (np.asarray(batch["pos"])[:, -1] > 0)
+            qs.append(q[ok])
+            ts.append(np.asarray(batch["pos"])[:, -1][ok])
+            seen += int(ok.sum())
+            if seen >= max_users:
+                break
+        if seen == 0:
+            return None
+        q = np.concatenate(qs)[:max_users]
+        t = np.concatenate(ts)[:max_users]
+        corpus = encode_all(params)
+        _, idx = MIPS.topk_mips_approx(
+            jnp.asarray(q), corpus.astype(jnp.float32), k=k)
+        got = np.asarray(idx) + 1
+        hit = got == t[:, None]
+        any_hit = hit.any(axis=1)
+        ranks = hit.argmax(axis=1)
+        hr = float(any_hit.mean())
+        ndcg = float(np.where(any_hit, 1.0 / np.log2(ranks + 2.0),
+                              0.0).mean())
+        return {"hr": hr, "ndcg": ndcg, "n": int(len(t))}
+
+    return eval_fn
+
+
 def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
                item_tables: ItemFeatureTables,
                log_dir: Optional[str] = None,
@@ -977,6 +1045,14 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
     probe_batch = None
     if valid_loader is not None and len(valid_loader) > 0:
         probe_batch = put_batch(next(iter(valid_loader.epoch(0))))
+
+    # epoch-end competition-metric eval (config.eval_retrieval_users)
+    retrieval_eval_fn = None
+    if (cfg.train.eval_retrieval_users > 0 and valid_loader is not None
+            and mesh is None and jax.process_count() == 1):
+        retrieval_eval_fn = make_retrieval_eval(
+            model, tables, mm_tables, put_batch,
+            max_users=cfg.train.eval_retrieval_users)
 
     # Metrics stay on device and are fetched in batches every ``log_every``
     # steps — a per-step ``float(loss)`` would force a host<->device sync
@@ -1209,6 +1285,17 @@ def train_loop(model: SeqRecModel, cfg: Config, train_loader, valid_loader,
             if verbose:
                 print(f"epoch {epoch}: valid_loss {valid_loss:.4f} "
                       f"({T.format_time(vtime)})")
+            if retrieval_eval_fn is not None:
+                r = retrieval_eval_fn(state.params, valid_loader)
+                if r is not None:
+                    tb.scalar("Retrieval/HR@10", r["hr"], timer.global_step)
+                    tb.scalar("Retrieval/NDCG@10", r["ndcg"],
+                              timer.global_step)
+                    jlog.write({"event": "retrieval_eval", "epoch": epoch,
+                                "global_step": timer.global_step, **r})
+                    if verbose:
+                        print(f"epoch {epoch}: HR@10 {r['hr']:.4f} "
+                              f"NDCG@10 {r['ndcg']:.4f} (n={r['n']})")
             if ckpt_dir:
                 # mesh states save as-is, shard-padded rows included: sharded
                 # leaves write PER-SHARD files (no host/device gather —

@@ -71,8 +71,10 @@ def test_cli_build_config_round5_overrides():
 
     args = get_args(["--preset", "baseline", "--grad_accum_steps", "2",
                      "--num_inbatch_negatives", "8", "--profile_steps", "3",
-                     "--profile_start", "5"])
+                     "--profile_start", "5",
+                     "--eval_retrieval_users", "512"])
     cfg = build_config(args)
     assert cfg.train.grad_accum_steps == 2
     assert cfg.train.num_inbatch_negatives == 8
     assert args.profile_steps == 3 and args.profile_start == 5
+    assert cfg.train.eval_retrieval_users == 512
